@@ -1,0 +1,76 @@
+"""Benchmark: on-device path sampling throughput (the gen_epoch equivalent).
+
+Measures sampled paths/s per chip on the Bgp-scale stand-in (n=63,977,
+num_walks=40, walk_len=4 — BASELINE.json's headline config), including hop-
+distance resolution, i.e. the full per-epoch record the reference's offline
+C++ pipeline produces as text (gen_epoch_merw.cpp) and the torch loop
+re-parses from disk every epoch (PathNet_run.py:317-334).
+
+Baseline: the numpy-vectorized host-CPU reference sampler
+(scripts/cpu_reference.py) measured on this host — a *conservative* stand-in
+for the "PyG CPU" baseline in BASELINE.md (the reference's actual
+single-thread printf-bound C++ sampler is far slower).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Measured once via scripts/cpu_reference.py on this host (2x 2.1GHz CPUs):
+# numpy alias-roll sampling, n=63977, nw=40, wl=4.
+CPU_BASELINE_PATHS_PER_S = 1_450_000.0
+
+
+def main():
+    from pathnet_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax
+    import numpy as np
+
+    from pathnet_tpu.data import synthetic_graph
+    from pathnet_tpu.merw import merw_graph
+    from pathnet_tpu.sample import PathSampler
+
+    n, nw, wl = 63977, 40, 4
+    t0 = time.time()
+    g = synthetic_graph(n=n, avg_deg=10.0, num_classes=8, homophily=0.37,
+                        feat_dim=8, seed=42)
+    g = merw_graph(g)
+    print(f"# setup graph+merw: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    ps = PathSampler.build(g, num_walks=nw, walk_len=wl, kind="merw",
+                           distance_backend="host")
+    print(f"# sampler build (alias + distance table): {time.time() - t0:.1f}s",
+          file=sys.stderr)
+
+    key = jax.random.PRNGKey(0)
+    # warmup (compile)
+    paths, dists = ps.sample_epoch(key, 0)
+    jax.block_until_ready((paths, dists))
+
+    epochs = 20
+    t0 = time.time()
+    for e in range(1, epochs + 1):
+        paths, dists = ps.sample_epoch(key, e)
+    jax.block_until_ready((paths, dists))
+    dt = time.time() - t0
+
+    pps = epochs * n * nw / dt
+    print(f"# {dt / epochs * 1000:.1f} ms/epoch on {jax.devices()[0]}",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "bgp_standin_sampled_paths_per_s",
+        "value": round(pps),
+        "unit": "paths/s",
+        "vs_baseline": round(pps / CPU_BASELINE_PATHS_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,133 @@
+"""Dataset registry: name → structure source, payload source, protocol.
+
+Replaces the reference's ``dataset.json`` + hardcoded name lists
+(PathNet_run.py:286-291,309,317,414,434-441) with one table.  Each entry
+records how to obtain the edge structure, the feature/label payload, the
+split regime, and which PAGG variant the reference dispatches to.
+
+Payload availability: the reference snapshot ships edge structure for
+cornell / cora / citeseer / Nba only; features, labels, and fixed splits are
+missing (.MISSING_LARGE_BLOBS).  When the real payload files are absent the
+loader attaches deterministic synthetic stand-ins with the documented class
+counts / feature dims / homophily ratios so every pipeline stage still runs
+on the true graph structure.  Large graphs without structure (pubmed /
+Electronics / bgp / Dblp) get SBM stand-ins at the documented scale.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from .graph import Graph
+from .formats import load_npy_dataset, load_planetoid
+from .splits import get_whole_mask, ratio_masks
+from .synthetic import attach_synthetic_payload, synthetic_graph
+
+
+@dataclasses.dataclass(frozen=True)
+class DatasetSpec:
+    name: str
+    variant: str              # "homo" | "hetero" — model dispatch (PathNet_run.py:286-291)
+    split: str                # "fixed" (H2GCN dirs) | "random" (48/32/20 per round)
+    num_classes: int
+    feat_dim: int
+    homophily: float          # documented edge-homophily ratio (performance.jpg header)
+    edge_file: Optional[str] = None   # .in file name under <root>/edge_input/
+    n: Optional[int] = None           # for SBM stand-ins
+    avg_deg: float = 8.0
+    val_size: Optional[int] = None    # fixed-split val size (dataset.json)
+    large: bool = False               # gen_epoch tier (per-epoch regeneration)
+
+
+DATASETS: Dict[str, DatasetSpec] = {
+    "cornell": DatasetSpec("cornell", "hetero", "fixed", 5, 1703, 0.30,
+                           edge_file="cornell.in", val_size=59),
+    "cora": DatasetSpec("cora", "homo", "fixed", 7, 1433, 0.81,
+                        edge_file="cora_nsl.in", val_size=1019),
+    "citeseer": DatasetSpec("citeseer", "homo", "fixed", 6, 3703, 0.74,
+                            edge_file="citeseer.in", val_size=1879),
+    "Nba": DatasetSpec("Nba", "hetero", "random", 2, 96, 0.39,
+                       edge_file="Nba.in"),
+    "pubmed": DatasetSpec("pubmed", "homo", "fixed", 3, 500, 0.80,
+                          n=19717, avg_deg=4.5, val_size=6310, large=True),
+    "bgp": DatasetSpec("bgp", "hetero", "random", 8, 287, 0.37,
+                       n=63977, avg_deg=10.0, large=True),
+    "Electronics": DatasetSpec("Electronics", "hetero", "random", 10, 8669, 0.25,
+                               n=42318, avg_deg=8.0, large=True),
+    "Dblp": DatasetSpec("Dblp", "hetero", "random", 4, 334, 0.45,
+                        n=17716, avg_deg=6.0, large=True),
+}
+
+
+def _find_edge_file(spec: DatasetSpec, data_root: str) -> Optional[str]:
+    for root in (data_root, os.path.join(os.path.dirname(__file__), "..", "..", "data")):
+        if spec.edge_file is None:
+            return None
+        p = os.path.join(root, "edge_input", spec.edge_file)
+        if os.path.exists(p):
+            return p
+    return None
+
+
+def load_structure(name: str, data_root: str = "data") -> Graph:
+    """Load the edge structure only (real file when present, else SBM)."""
+    spec = DATASETS[name]
+    path = _find_edge_file(spec, data_root)
+    if path is not None:
+        g = Graph.from_edge_input(path, name=name)
+        return g
+    if spec.n is None:
+        raise FileNotFoundError(f"no edge file for {name} and no synthetic size")
+    return synthetic_graph(spec.n, spec.avg_deg, spec.num_classes,
+                           spec.homophily, spec.feat_dim, seed=hash(name) % (2**31))
+
+
+def load_dataset(name: str, data_root: str = "data", round_i: int = 0,
+                 ) -> Tuple[Graph, np.ndarray, np.ndarray, np.ndarray, DatasetSpec]:
+    """Load graph + payload + round masks.
+
+    Returns ``(graph, train_mask, val_mask, test_mask, spec)``.
+
+    Payload resolution order:
+    1. real npy triple under ``<root>/other_data/<name>/`` (data_loader.py:122-131);
+    2. real Planetoid pickles under ``<root>/planetoid/`` (dataset.py:197-307);
+    3. deterministic synthetic stand-in on the real (or SBM) structure.
+
+    Split resolution (PathNet_run.py:437-454): "random" datasets re-split
+    per round with seed ``round_i + 1`` via the Mersenne-Twister-exact
+    ``get_whole_mask``; "fixed" datasets use split files when present, else a
+    deterministic per-round ratio split.
+    """
+    spec = DATASETS[name]
+    g = load_structure(name, data_root)
+
+    npy_dir = os.path.join(data_root, "other_data", name)
+    planetoid_dir = os.path.join(data_root, "planetoid")
+    if os.path.exists(os.path.join(npy_dir, "x.npy")):
+        x, y, edge_index = load_npy_dataset(os.path.join(data_root, "other_data"), name)
+        if edge_index is not None and spec.edge_file is None:
+            g = Graph.from_edge_index(len(y), edge_index, name=name)
+        g = Graph(n=g.n, src=g.src, dst=g.dst, prob=g.prob, features=x,
+                  labels=y, name=name)
+    elif os.path.exists(os.path.join(planetoid_dir, f"ind.{name}.x")):
+        d = load_planetoid(f"ind.{name}", planetoid_dir, spec.val_size)
+        x = np.asarray(d["features"].todense(), np.float32)
+        y = d["labels"].argmax(1).astype(np.int64)
+        g = Graph(n=g.n, src=g.src, dst=g.dst, prob=g.prob, features=x,
+                  labels=y, name=name)
+        if spec.split == "fixed":
+            return g, d["train_mask"], d["val_mask"], d["test_mask"], spec
+    else:
+        if g.features is None or g.labels is None:
+            g = attach_synthetic_payload(g, spec.num_classes, spec.feat_dim,
+                                         spec.homophily,
+                                         seed=hash(name) % (2**31))
+
+    if spec.split == "random":
+        train, val, test = get_whole_mask(g.labels, seed=round_i + 1)
+    else:
+        train, val, test = ratio_masks(g.n, seed=1000 + round_i)
+    return g, train, val, test, spec

@@ -1,0 +1,189 @@
+"""Maximal-entropy random walk (MERW) transition probabilities on TPU.
+
+The reference computes the principal eigenpair of the (possibly weighted)
+adjacency with ARPACK and assembles ``P[u, v] = A[u, v] * psi[v] /
+(lambda * psi[u])`` in an O(n^2) scipy loop (preprocess/compute_merw.py:
+109-121); a power-method variant exists at :124-141.  Here the eigenpair
+comes from an on-device power iteration over a padded-CSR adjacency
+(gather + weighted row-sum SpMV — no dense [n, n] matrix is ever
+materialized), and P is produced directly in padded-CSR or per-record form.
+
+Weighted adjacency matters for byte-parity with the reference data: the
+checked-in ``cornell.in`` probabilities were generated from an adjacency
+with diagonal entries of 2 where the original WebKB graph already had
+self-loops before the pipeline added the identity (verified in
+tests/test_merw.py::test_merw_reproduces_reference_probs_weighted).
+
+Unit-test invariants:
+- rows of P sum to 1;
+- the stationary distribution is psi**2 (for ||psi|| = 1) and satisfies
+  detailed balance pi_u P[u,v] = pi_v P[v,u];
+- psi/lambda agree with scipy.sparse.linalg.eigsh on small graphs;
+- the cornell.in probability column is reproduced.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+from ..data.graph import DeviceGraph, Graph
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _power_iteration(nbr: jnp.ndarray, w: jnp.ndarray, v0: jnp.ndarray,
+                     iters: int, tol: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dominant eigenpair of the weighted symmetric adjacency.
+
+    ``nbr``/``w`` are padded neighbor/weight tables (padding weight 0).  One
+    SpMV = gather rows of v at nbr, weighted row-sum: O(n * max_deg) VPU
+    work.  Tolerance-gated while_loop capped at ``iters``.
+    """
+
+    def spmv(v):
+        return jnp.sum(v[nbr] * w, axis=1)
+
+    def cond(state):
+        _, lam, lam_prev, it = state
+        return jnp.logical_and(it < iters,
+                               jnp.abs(lam - lam_prev) > tol * jnp.abs(lam) + tol)
+
+    def body(state):
+        v, lam, _, it = state
+        u = spmv(v)
+        lam_new = jnp.linalg.norm(u)
+        return u / jnp.maximum(lam_new, 1e-30), lam_new, lam, it + 1
+
+    v = v0 / jnp.linalg.norm(v0)
+    v, lam, _, _ = jax.lax.while_loop(
+        cond, body, (v, jnp.asarray(0.0, v.dtype), jnp.asarray(jnp.inf, v.dtype), 0))
+    lam = jnp.vdot(v, spmv(v)) / jnp.vdot(v, v)   # Rayleigh polish
+    v = jnp.abs(v)                                # Perron vector, fixed sign
+    return v / jnp.linalg.norm(v), lam
+
+
+def _adjacency_csr(g: Graph, weights: Optional[np.ndarray] = None,
+                   binary: bool = True) -> sp.csr_matrix:
+    """Canonical deduplicated adjacency.
+
+    With ``weights`` given, duplicate records sum (MERW probabilities are
+    invariant to the uniform 2x that both-directions-twice reference files
+    produce); otherwise ``binary=True`` collapses multiplicities to 1 (the
+    reference's 0/1 adjacency).
+    """
+    data = weights if weights is not None else np.ones(len(g.src))
+    a = sp.csr_matrix((data, (g.src, g.dst)), shape=(g.n, g.n))
+    a.sum_duplicates()
+    if binary and weights is None:
+        a.data = np.ones_like(a.data)
+    return a
+
+
+def _padded_adjacency(a: sp.csr_matrix
+                      ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host-side padded (nbr, weight, deg) tables of a CSR adjacency."""
+    n = a.shape[0]
+    deg = np.diff(a.indptr).astype(np.int32)
+    D = max(1, int(deg.max(initial=1)))
+    nbr = np.tile(np.arange(n, dtype=np.int32)[:, None], (1, D))
+    w = np.zeros((n, D), np.float32)
+    slot = np.arange(len(a.indices)) - np.repeat(a.indptr[:-1], deg)
+    rows = np.repeat(np.arange(n), deg)
+    nbr[rows, slot] = a.indices.astype(np.int32)
+    w[rows, slot] = a.data.astype(np.float32)
+    return nbr, w, deg
+
+
+def principal_eigenpair(g, weights: Optional[np.ndarray] = None,
+                        binary: bool = True, iters: int = 1000,
+                        tol: float = 1e-7, dtype=jnp.float32,
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(psi, lambda) of the symmetric adjacency of ``g``.
+
+    ``g`` may be a host Graph (weighted adjacency supported via ``weights``,
+    aligned with record order) or a DeviceGraph (binary structure of the
+    padded table; duplicate records collapse on host).
+    """
+    if isinstance(g, DeviceGraph):
+        deg = np.asarray(g.deg)
+        nbr_np = np.asarray(g.nbr)
+        mask = np.arange(g.max_deg)[None, :] < deg[:, None]
+        g = Graph(n=g.n,
+                  src=np.repeat(np.arange(g.n, dtype=np.int32), deg),
+                  dst=nbr_np[mask].astype(np.int32),
+                  prob=np.ones(int(deg.sum())))
+    a = _adjacency_csr(g, weights, binary)
+    nbr, w, _ = _padded_adjacency(a)
+    key = jax.random.PRNGKey(0)
+    v0 = jax.random.uniform(key, (g.n,), dtype=dtype, minval=0.1, maxval=1.1)
+    return _power_iteration(jnp.asarray(nbr), jnp.asarray(w, dtype), v0, iters, tol)
+
+
+def merw_record_probs(g: Graph, psi: np.ndarray, lam: float,
+                      weights: Optional[np.ndarray] = None) -> np.ndarray:
+    """Per-record MERW probabilities aligned with ``g.src/g.dst`` order:
+    ``P[u, v] = A[u, v] * psi[v] / (lambda * psi[u])``.
+
+    ``A``/``lambda`` must be consistent: entries come from the same
+    deduplicated adjacency the eigenpair was computed on (duplicate records
+    of a pair all receive the pair's full probability, as in the reference
+    files).
+    """
+    psi = np.asarray(psi, np.float64)
+    a = _adjacency_csr(g, weights, binary=weights is None)
+    a_uv = np.asarray(a[g.src, g.dst]).ravel()
+    return a_uv * psi[g.dst] / (float(lam) * psi[g.src])
+
+
+def merw_padded_probs(dg: DeviceGraph, psi: jnp.ndarray, lam: jnp.ndarray
+                      ) -> jnp.ndarray:
+    """Padded-CSR MERW transition table ``P[u, j] ∝ psi[nbr[u, j]]/psi[u]``.
+
+    Rows renormalized (guards truncation error); padding slots get 0;
+    isolated nodes become pure self-loops.
+    """
+    mask = jnp.arange(dg.max_deg)[None, :] < dg.deg[:, None]
+    p = jnp.where(mask, psi[dg.nbr] / (lam * jnp.maximum(psi[:, None], 1e-30)), 0.0)
+    rowsum = p.sum(axis=1, keepdims=True)
+    p = p / jnp.maximum(rowsum, 1e-30)
+    return jnp.where(dg.deg[:, None] > 0, p,
+                     jnp.where(jnp.arange(dg.max_deg)[None, :] == 0, 1.0, 0.0))
+
+
+def stationary_distribution(psi: jnp.ndarray) -> jnp.ndarray:
+    """MERW stationary distribution pi = psi^2 (compute_merw.py:121)."""
+    pi = psi * psi
+    return pi / jnp.sum(pi)
+
+
+def merw_graph(g: Graph, weights: Optional[np.ndarray] = None,
+               iters: int = 1000, tol: float = 1e-7) -> Graph:
+    """Host convenience: structure in → Graph with MERW record probs.
+
+    Equivalent of the ``init_rw.py`` CLI step (load structure, compute MERW,
+    write ``<name>_nsl.in``) without the filesystem round-trip.
+    """
+    psi, lam = principal_eigenpair(g, weights=weights, iters=iters, tol=tol)
+    probs = merw_record_probs(g, np.asarray(psi), float(lam), weights)
+    return Graph(n=g.n, src=g.src, dst=g.dst, prob=probs,
+                 features=g.features, labels=g.labels, name=g.name)
+
+
+def recover_integer_weights(g: Graph, probs: np.ndarray, max_weight: int = 8
+                            ) -> np.ndarray:
+    """Recover integer adjacency multiplicities from a MERW probability column.
+
+    Given record probabilities produced by some integer-weighted adjacency,
+    estimate ``A[u, v] = round(P[u, v] * lambda * psi[u] / psi[v])`` using
+    the binary-adjacency eigenpair as a first-order proxy.  Used to
+    round-trip reference ``.in`` files whose source adjacency is lost.
+    """
+    psi, lam = principal_eigenpair(g, binary=True)
+    psi = np.asarray(psi, np.float64)
+    est = probs * float(lam) * psi[g.src] / np.maximum(psi[g.dst], 1e-30)
+    return np.clip(np.round(est), 1, max_weight).astype(np.float64)

@@ -1,0 +1,207 @@
+"""PAGG — the path-aggregation layer family (PathNet / PathNet_homo).
+
+Reference: PathNet_run.py:150-278.  Both variants share one pipeline:
+
+  fc0 → gather path node features → distance-conditioned linear transform →
+  (dropout) → RNN over the path sequence → path-vs-ego attention →
+  aggregate over paths → concat ego → (dropout) → fc2
+
+Variant differences (hetero = PathNet :150-211, homo = PathNet_homo
+:214-278):
+
+| step              | hetero                         | homo                  |
+|-------------------|--------------------------------|-----------------------|
+| after fc0         | identity                       | ReLU (:243)           |
+| sequence order    | flipped (far→near, :182)       | as sampled            |
+| after dist-select | identity                       | ReLU (:257)           |
+| ego-per-path      | fc0 feats of position 0 (:199) | selected feats of position 0 (:259) |
+| attention         | softmax(LeakyReLU(attw·cat)) over paths (:200-202) | (1 + attw·cat) residual (:270-271) |
+| init              | torch defaults                 | + xavier on fc0/fc2 (:236-237) |
+
+The distance-conditioned transform replaces the reference's
+wl-GEMMs + stack + advanced-index (:186-192) with a batched einsum over the
+stacked ``[wl, H, H]`` weight and a take_along_axis select — identical math,
+one fused MXU-friendly op.
+
+``quirk_compat=True`` reproduces two index-layout quirks of the reference
+*hetero* forward byte-for-byte (the published heterophily numbers were
+produced with them — SURVEY.md §2.4):
+
+1. the flattening mismatch at :182-192 — distance indices are consumed
+   b-major while the flipped sequence is laid out l-major, and the result is
+   re-viewed b-major, scrambling (position, walk) pairs deterministically;
+2. the walk-major mean misgrouping at :196-204 — ``h_n`` is reshaped
+   ``[num_w, split]`` from node-major data, so the "mean over paths"
+   averages stride-``split`` slices across all nodes.
+
+The default implements the intended per-node semantics.
+
+Ablation axes (paper table rows, performance.jpg): ``rnn ∈ {lstm, gru,
+mlp}`` and ``agg ∈ {attention, mean, sum}``; ``kind='uniform'`` sampling at
+the sampler level gives RW-PathNet.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..nn.cells import lstm_scan, gru_scan
+from ..nn.init import (torch_linear_init, torch_lstm_init, xavier_uniform)
+from ..nn.init import torch_gru_init
+
+
+@dataclasses.dataclass(frozen=True)
+class PaggSpec:
+    """Static model hyperparameters (jit-static)."""
+
+    feat_dim: int
+    hidden: int
+    out_dim: int
+    walk_len: int
+    variant: str = "hetero"      # "hetero" | "homo"
+    rnn: str = "lstm"            # "lstm" | "gru" | "mlp"
+    agg: str = "attention"       # "attention" | "mean" | "sum"
+    dropout: float = 0.7
+    quirk_compat: bool = False
+
+
+def init_pagg_params(key: jax.Array, spec: PaggSpec, dtype=jnp.float32
+                     ) -> Dict[str, Dict[str, jnp.ndarray]]:
+    """Parameter pytree with torch-default initial distributions."""
+    keys = jax.random.split(key, 6 + spec.walk_len)
+    H = spec.hidden
+    fc0 = torch_linear_init(keys[0], spec.feat_dim, H, dtype)
+    fc2 = torch_linear_init(keys[1], 2 * H, spec.out_dim, dtype)
+    if spec.variant == "homo":
+        # PathNet_run.py:236-237 — xavier on the weights only
+        fc0["w"] = xavier_uniform(keys[2], spec.feat_dim, H, dtype)
+        fc2["w"] = xavier_uniform(keys[3], 2 * H, spec.out_dim, dtype)
+    dist_layers = [torch_linear_init(k, H, H, dtype)
+                   for k in keys[6:6 + spec.walk_len]]
+    dist = {"w": jnp.stack([l["w"] for l in dist_layers]),
+            "b": jnp.stack([l["b"] for l in dist_layers])}
+    if spec.rnn == "lstm":
+        rnn = torch_lstm_init(keys[4], H, H, dtype)
+    elif spec.rnn == "gru":
+        rnn = torch_gru_init(keys[4], H, H, dtype)
+    else:  # mlp: position-mean + linear (our stand-in for the paper ablation)
+        rnn = torch_linear_init(keys[4], H, H, dtype)
+    attw = torch_linear_init(keys[5], 2 * H, 1, dtype)
+    return {"fc0": fc0, "dist": dist, "rnn": rnn, "attw": attw, "fc2": fc2}
+
+
+def _dropout(x, rate, train, key):
+    if not train or rate <= 0.0 or key is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+def _dist_select(params, x_flat, dist_flat, walk_len):
+    """All wl linear transforms + per-element distance selection.
+
+    x_flat [B, H], dist_flat [B] int → [B, H].
+    """
+    z = jnp.einsum("bh,khj->bkj", x_flat, params["dist"]["w"])
+    z = z + params["dist"]["b"][None]
+    d = jnp.clip(dist_flat, 0, walk_len - 1)
+    return jnp.take_along_axis(z, d[:, None, None], axis=1)[:, 0]
+
+
+def _encode(params, seq, rnn):
+    """seq [L, B, H] → h_n [B, H] (final hidden state)."""
+    if rnn == "lstm":
+        _, h_n = lstm_scan(params["rnn"], seq)
+    elif rnn == "gru":
+        _, h_n = gru_scan(params["rnn"], seq)
+    else:
+        h_n = jnp.mean(seq, axis=0) @ params["rnn"]["w"] + params["rnn"]["b"]
+    return h_n
+
+
+def pagg_forward(params, X: jnp.ndarray, paths: jnp.ndarray,
+                 dists: jnp.ndarray, ego_idx: jnp.ndarray, spec: PaggSpec,
+                 train: bool = False, key: Optional[jax.Array] = None
+                 ) -> jnp.ndarray:
+    """Logits [T, out_dim] for target nodes ``ego_idx`` with walks ``paths``.
+
+    X [n, F] all node features (transductive — reference gathers from the
+    full feature matrix, PathNet_run.py:179); paths/dists [T, nw, wl].
+    """
+    T, nw, wl = paths.shape
+    k1, k2 = (jax.random.split(key) if key is not None else (None, None))
+    h = X @ params["fc0"]["w"] + params["fc0"]["b"]
+    if spec.variant == "homo":
+        h = jax.nn.relu(h)
+
+    nei = h[paths]                       # [T, nw, wl, H]
+    B = T * nw
+    H = spec.hidden
+
+    if spec.variant == "hetero" and spec.quirk_compat:
+        return _hetero_quirk_forward(params, h, nei, dists, ego_idx, spec,
+                                     train, k1, k2)
+
+    if spec.variant == "hetero":
+        seq_in = jnp.flip(nei, axis=2)
+        d_in = jnp.flip(dists, axis=2)
+    else:
+        seq_in, d_in = nei, dists
+
+    sel = _dist_select(params, seq_in.reshape(B * wl, H),
+                       d_in.reshape(B * wl), wl).reshape(T, nw, wl, H)
+    if spec.variant == "homo":
+        sel = jax.nn.relu(sel)
+        ego_per_path = sel[:, :, 0, :]               # selected position-0 (:259)
+    else:
+        ego_per_path = nei[:, :, 0, :]               # fc0 feats of the start (:199)
+
+    seq = sel.reshape(B, wl, H).transpose(1, 0, 2)   # [wl, B, H]
+    seq = _dropout(seq, spec.dropout, train, k1)
+    h_n = _encode(params, seq, spec.rnn).reshape(T, nw, H)
+
+    if spec.agg == "attention":
+        cat = jnp.concatenate([h_n, ego_per_path], axis=-1)
+        score = cat @ params["attw"]["w"] + params["attw"]["b"]
+        if spec.variant == "hetero":
+            att = jax.nn.softmax(jax.nn.leaky_relu(score), axis=1)
+        else:
+            att = 1.0 + score
+        h_agg = jnp.mean(att * h_n, axis=1)
+    elif spec.agg == "mean":
+        h_agg = jnp.mean(h_n, axis=1)
+    else:
+        h_agg = jnp.sum(h_n, axis=1)
+
+    out = jnp.concatenate([h[ego_idx], h_agg], axis=-1)
+    out = _dropout(out, spec.dropout, train, k2)
+    return out @ params["fc2"]["w"] + params["fc2"]["b"]
+
+
+def _hetero_quirk_forward(params, h, nei, dists, ego_idx, spec, train, k1, k2):
+    """Byte-exact reproduction of the reference hetero forward's index
+    layout (PathNet_run.py:172-211) for golden-parity testing."""
+    T, nw, wl, H = nei.shape
+    B = T * nw
+    seq = nei.reshape(B, wl, H).transpose(1, 0, 2)        # [wl, B, H] (:180)
+    flipped = jnp.flip(seq, axis=0)                       # (:182)
+    flat_f = flipped.reshape(wl * B, H)                   # l-major layout
+    lt_flat = dists.reshape(B * wl)                       # b-major layout (:184)
+    sel = _dist_select(params, flat_f, lt_flat, wl)       # misaligned (:191)
+    sel = sel.reshape(B, wl, H).transpose(1, 0, 2)        # re-viewed b-major (:192)
+    sel = _dropout(sel, spec.dropout, train, k1)          # (:194)
+    h_n = _encode(params, sel, spec.rnn)                  # [B, H] (:195)
+    h_n = h_n.reshape(nw, T, H)                           # walk-major misgroup (:197)
+    first = seq[0].reshape(nw, T, H)                      # (:199)
+    cat = jnp.concatenate([h_n, first], axis=-1)
+    score = cat @ params["attw"]["w"] + params["attw"]["b"]
+    # F.softmax without dim on a 3-D tensor resolves to dim=0 (:200)
+    att = jax.nn.softmax(jax.nn.leaky_relu(score), axis=0)
+    h_agg = jnp.mean(att * h_n, axis=0)                   # (:203-204)
+    out = jnp.concatenate([h[ego_idx], h_agg], axis=-1)
+    out = _dropout(out, spec.dropout, train, k2)
+    return out @ params["fc2"]["w"] + params["fc2"]["b"]

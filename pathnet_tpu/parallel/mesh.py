@@ -1,0 +1,102 @@
+"""SPMD mesh runtime — node/path-partitioned training over a device mesh.
+
+No reference counterpart exists (the reference is strictly single-GPU,
+SURVEY.md §2.7); this layer is the TPU-native scaling story:
+
+- mesh axes ``('data', 'model')``: ``data`` partitions the *node/path*
+  dimension (each device samples and aggregates paths for its node shard);
+  ``model`` partitions hidden dimensions of the large matmuls (unused until
+  hidden sizes warrant it).
+- The transition tables (alias lo/hi/split), features X, and parameters are
+  replicated; per-node tensors (paths, dists, per-node logits) are sharded
+  on ``data``.  A path may visit any node, so the feature gather reads the
+  replicated X locally — the all-to-all boundary exchange only becomes
+  necessary when X itself is sharded (large-graph mode, planned).
+- Gradients are summed across the mesh by XLA automatically (GSPMD): the
+  loss is a mean over the sharded batch, so the backward pass inserts the
+  psum — no hand-written collectives needed at this level.
+
+Everything here works identically on a virtual CPU mesh
+(``--xla_force_host_platform_device_count=N``), which is how tests and the
+driver's multi-chip dry-run validate partitioning without a pod.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.pagg import PaggSpec, pagg_forward
+from ..sample.walk import PathSampler
+
+
+def make_mesh(n_devices: Optional[int] = None, data_axis: Optional[int] = None,
+              model_axis: int = 1) -> Mesh:
+    """Mesh over available devices; defaults to all-data-parallel."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    data_axis = data_axis or (n // model_axis)
+    grid = np.array(devs[: data_axis * model_axis]).reshape(data_axis, model_axis)
+    return Mesh(grid, ("data", "model"))
+
+
+def shard_spec(mesh: Mesh, *axes: Optional[str]) -> NamedSharding:
+    return NamedSharding(mesh, P(*axes))
+
+
+def replicate(mesh: Mesh, tree):
+    """Place a pytree fully replicated on the mesh."""
+    s = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
+def sharded_train_step(mesh: Mesh, spec: PaggSpec, optimizer,
+                       num_classes: int):
+    """Build a jitted SPMD train+eval step.
+
+    Signature of the returned fn:
+      (params, opt_state, X, y, ps, train_idx, val_idx, key)
+        -> (params, opt_state, loss, val_acc)
+
+    ``train_idx``/``val_idx`` are padded to a multiple of the data-axis size
+    by the caller; the per-epoch path tensor is sampled inside the step and
+    constrained to the ``data`` sharding so sampling, gather, and the PAGG
+    forward/backward all run node-partitioned.
+    """
+    data_sharding = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    def step(params, opt_state, X, y, ps: PathSampler, train_idx, val_idx, key):
+        kp, kd = jax.random.split(key)
+        paths, dists = ps.sample(kp)
+        paths = jax.lax.with_sharding_constraint(paths, data_sharding)
+        dists = jax.lax.with_sharding_constraint(dists, data_sharding)
+
+        def loss_fn(p):
+            logits = pagg_forward(p, X, paths[train_idx], dists[train_idx],
+                                  train_idx, spec, train=True, key=kd)
+            labels = y[train_idx]
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, labels).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        logits = pagg_forward(params, X, paths[val_idx], dists[val_idx],
+                              val_idx, spec, train=False)
+        val_acc = jnp.mean((jnp.argmax(logits, -1) == y[val_idx]).astype(jnp.float32))
+        return params, opt_state, loss, val_acc
+
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, repl, repl, repl, data_sharding,
+                      data_sharding, repl),
+        out_shardings=(repl, repl, repl, repl),
+    )

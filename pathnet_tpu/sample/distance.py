@@ -1,0 +1,86 @@
+"""Truncated-BFS hop distances.
+
+The reference runs one O(n + m) BFS per node into a static ``char
+dis[N][N]`` (~10 GB, gen_merw.cpp:10,101-123, hence ``-mcmodel=medium``) and
+stops expanding past ``seq_len`` hops (:110-111).  Path records carry
+``d_i = dis[start][v_i] - 1 ∈ [0, seq_len-1]`` — every walk-visited node is
+within ``seq_len-1`` hops of its start, so truncation never loses a needed
+value.
+
+TPU-native replacement: frontier-wave BFS for a *chunk* of start nodes at a
+time.  One wave = "reached |= frontier reaches neighbor" computed as a
+segment-sum over the edge list — O(E * chunk) VPU work, no [n, n]
+materialization during propagation.  The result is an ``[n, n]`` int8 table
+(distance 0..max_hops, -1 beyond truncation) built once per graph and
+reused for every epoch and round; memory O(n^2) bytes, so pubmed-scale
+(19.7k → 389 MB) fits in HBM and larger graphs use the host-table or
+chunked modes (see PathSampler).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.graph import Graph, DeviceGraph
+
+
+@functools.partial(jax.jit, static_argnames=("n", "max_hops"))
+def _bfs_chunk(src: jnp.ndarray, dst: jnp.ndarray, starts: jnp.ndarray,
+               n: int, max_hops: int) -> jnp.ndarray:
+    """Distances [chunk, n] int8 from each start, truncated at max_hops."""
+    C = starts.shape[0]
+    dist = jnp.full((C, n), -1, jnp.int8)
+    dist = dist.at[jnp.arange(C), starts].set(0)
+    frontier = jnp.zeros((C, n), jnp.float32).at[jnp.arange(C), starts].set(1.0)
+
+    def wave(k, state):
+        dist, frontier = state
+        # edge push: reached[c, v] = any_{(u,v) in E} frontier[c, u]
+        vals = frontier[:, src]                      # [C, E]
+        reached = jax.ops.segment_sum(vals.T, dst, num_segments=n)  # [n, C]
+        new = (reached.T > 0) & (dist < 0)
+        dist = jnp.where(new, jnp.int8(k), dist)
+        return dist, new.astype(jnp.float32)
+
+    dist, _ = jax.lax.fori_loop(1, max_hops + 1, wave, (dist, frontier))
+    return dist
+
+
+def bfs_distance_table(g: Graph, max_hops: int, chunk: int = 1024,
+                       symmetric_hint: bool = True) -> jnp.ndarray:
+    """Full [n, n] int8 truncated-distance table, built chunk-by-chunk on device.
+
+    Uses the directed edge records as-is (reference inputs contain both
+    directions, so BFS is effectively over the undirected graph —
+    init_rw.py:81-86 writes u→v and v→u).
+    """
+    src = jnp.asarray(g.src, jnp.int32)
+    dst = jnp.asarray(g.dst, jnp.int32)
+    n = g.n
+    rows = []
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        starts = jnp.arange(lo, hi, dtype=jnp.int32)
+        if hi - lo < chunk:  # pad to static shape, drop later
+            starts = jnp.concatenate(
+                [starts, jnp.zeros(chunk - (hi - lo), jnp.int32)])
+        block = _bfs_chunk(src, dst, starts, n, max_hops)
+        rows.append(block[: hi - lo])
+    return jnp.concatenate(rows, axis=0)
+
+
+def bfs_distance_table_host(g: Graph, max_hops: int) -> np.ndarray:
+    """Host-side oracle via scipy BFS (validation + host-table mode)."""
+    import scipy.sparse as sp
+    import scipy.sparse.csgraph as csgraph
+
+    adj = sp.csr_matrix((np.ones(len(g.src), np.float32), (g.src, g.dst)),
+                        shape=(g.n, g.n))
+    d = csgraph.dijkstra(adj, unweighted=True, limit=max_hops, directed=True)
+    d = np.where(np.isfinite(d), d, -1).astype(np.int8)
+    return d

@@ -1,0 +1,228 @@
+"""Training harness: the reference protocol as jitted on-device programs.
+
+Reference loop (PathNet_run.py:281-403): per epoch — (re)load the epoch's
+path set, full-batch forward on train-mask nodes, Adam step, val forward,
+and on a val-accuracy improvement a test forward whose five metrics are the
+round's result ("best-on-validation" model selection).  10 rounds with fresh
+splits; mean ± std over rounds (:406-485).
+
+TPU-native redesign: one round = ONE jitted ``lax.scan`` over epochs.  Each
+scan step fuses on-device path sampling (the gen_epoch equivalent), the
+training step, and the eval forwards; best-on-val selection is a functional
+``where`` on device.  No host round-trips, no text files, no per-epoch
+dispatch — the whole 1000-epoch round is a single XLA program.  A Python
+stepper (``scan_epochs=False``) exists for debugging and for graphs whose
+path tensors must be resampled in chunks.
+
+Optimizer semantics match torch ``Adam(lr, weight_decay)`` — additive L2
+before the moment update (NOT AdamW; the reference's AdamW line is
+commented out, PathNet_run.py:293-296).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import TrainConfig
+from ..models.pagg import PaggSpec, init_pagg_params, pagg_forward
+from ..nn.metrics import confusion_matrix, classification_metrics
+from ..sample.walk import PathSampler
+
+
+@dataclasses.dataclass
+class RoundResult:
+    best_val_acc: float
+    metrics: Dict[str, float]          # accuracy/macro_f1/micro_f1/... at best val
+    best_params: Optional[dict] = None
+    history: Optional[np.ndarray] = None   # [epochs] val accuracy
+
+
+def make_optimizer(lr: float, weight_decay: float) -> optax.GradientTransformation:
+    """torch.optim.Adam(lr, weight_decay) — additive L2 into the gradient
+    before Adam's moment accumulation."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.scale(-lr),
+    )
+
+
+def _loss_fn(params, X, paths, dists, idx, y, spec, key):
+    logits = pagg_forward(params, X, paths, dists, idx, spec, train=True, key=key)
+    return optax.softmax_cross_entropy_with_integer_labels(logits, y).mean()
+
+
+def _eval_cm(params, X, paths, dists, idx, y, spec, num_classes):
+    logits = pagg_forward(params, X, paths, dists, idx, spec, train=False)
+    pred = jnp.argmax(logits, axis=-1)
+    return confusion_matrix(y, pred, num_classes)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "num_classes", "epochs", "optimizer", "track_history"))
+def _run_round_scan(params, opt_state, X, y, ps: PathSampler,
+                    train_idx, val_idx, test_idx, base_key,
+                    spec: PaggSpec, num_classes: int, epochs: int,
+                    optimizer, track_history: bool):
+    y_train, y_val, y_test = y[train_idx], y[val_idx], y[test_idx]
+
+    def epoch_step(carry, epoch):
+        params, opt_state, best_val, best_cm, best_params = carry
+        kp, kd = jax.random.split(jax.random.fold_in(base_key, epoch))
+        paths, dists = ps.sample(kp)
+
+        grads = jax.grad(_loss_fn)(params, X, paths[train_idx], dists[train_idx],
+                                   train_idx, y_train, spec, kd)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        val_cm = _eval_cm(params, X, paths[val_idx], dists[val_idx], val_idx,
+                          y_val, spec, num_classes)
+        val_acc = jnp.diagonal(val_cm).sum() / jnp.maximum(val_cm.sum(), 1.0)
+        is_best = val_acc > best_val
+
+        test_cm = jax.lax.cond(
+            is_best,
+            lambda: _eval_cm(params, X, paths[test_idx], dists[test_idx],
+                             test_idx, y_test, spec, num_classes),
+            lambda: best_cm)
+        best_cm = jnp.where(is_best, test_cm, best_cm)
+        best_val = jnp.maximum(best_val, val_acc)
+        best_params = jax.tree_util.tree_map(
+            lambda b, p: jnp.where(is_best, p, b), best_params, params)
+        out = val_acc if track_history else jnp.zeros(())
+        return (params, opt_state, best_val, best_cm, best_params), out
+
+    init = (params, opt_state, jnp.zeros(()),
+            jnp.zeros((num_classes, num_classes)), params)
+    (params, opt_state, best_val, best_cm, best_params), hist = jax.lax.scan(
+        epoch_step, init, jnp.arange(epochs))
+    return params, best_val, best_cm, best_params, hist
+
+
+def run_round(X: jnp.ndarray, y: jnp.ndarray, ps: PathSampler, spec: PaggSpec,
+              cfg: TrainConfig, train_mask: np.ndarray, val_mask: np.ndarray,
+              test_mask: np.ndarray, num_classes: int, seed: int = 0,
+              track_history: bool = False, keep_params: bool = False
+              ) -> RoundResult:
+    """One full round: init → epochs → best-on-val test metrics."""
+    key = jax.random.PRNGKey(seed)
+    kinit, kepochs = jax.random.split(key)
+    params = init_pagg_params(kinit, spec)
+    optimizer = make_optimizer(cfg.lr, cfg.weight_decay)
+    opt_state = optimizer.init(params)
+
+    train_idx = jnp.asarray(np.flatnonzero(train_mask), jnp.int32)
+    val_idx = jnp.asarray(np.flatnonzero(val_mask), jnp.int32)
+    test_idx = jnp.asarray(np.flatnonzero(test_mask), jnp.int32)
+
+    if cfg.scan_epochs:
+        params, best_val, best_cm, best_params, hist = _run_round_scan(
+            params, opt_state, X, y, ps, train_idx, val_idx, test_idx,
+            kepochs, spec, num_classes, cfg.epochs, optimizer, track_history)
+    else:
+        params, best_val, best_cm, best_params, hist = _run_round_python(
+            params, opt_state, X, y, ps, train_idx, val_idx, test_idx,
+            kepochs, spec, num_classes, cfg.epochs, optimizer, track_history)
+
+    metrics = {k: float(v) for k, v in
+               classification_metrics(best_cm).items()}
+    return RoundResult(
+        best_val_acc=float(best_val),
+        metrics=metrics,
+        best_params=jax.device_get(best_params) if keep_params else None,
+        history=np.asarray(hist) if track_history else None)
+
+
+def _run_round_python(params, opt_state, X, y, ps, train_idx, val_idx,
+                      test_idx, base_key, spec, num_classes, epochs,
+                      optimizer, track_history):
+    """Python-loop fallback: one jitted step per epoch (debuggable; used for
+    graphs whose per-epoch tensors need host-side staging)."""
+
+    @functools.partial(jax.jit, static_argnames=())
+    def one_epoch(params, opt_state, epoch, best_val, best_cm, best_params):
+        kp, kd = jax.random.split(jax.random.fold_in(base_key, epoch))
+        paths, dists = ps.sample(kp)
+        grads = jax.grad(_loss_fn)(params, X, paths[train_idx], dists[train_idx],
+                                   train_idx, y[train_idx], spec, kd)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        val_cm = _eval_cm(params, X, paths[val_idx], dists[val_idx], val_idx,
+                          y[val_idx], spec, num_classes)
+        val_acc = jnp.diagonal(val_cm).sum() / jnp.maximum(val_cm.sum(), 1.0)
+        is_best = val_acc > best_val
+        test_cm = jax.lax.cond(
+            is_best,
+            lambda: _eval_cm(params, X, paths[test_idx], dists[test_idx],
+                             test_idx, y[test_idx], spec, num_classes),
+            lambda: best_cm)
+        best_cm = jnp.where(is_best, test_cm, best_cm)
+        best_val = jnp.maximum(best_val, val_acc)
+        best_params = jax.tree_util.tree_map(
+            lambda b, p: jnp.where(is_best, p, b), best_params, params)
+        return params, opt_state, best_val, best_cm, best_params, val_acc
+
+    best_val = jnp.zeros(())
+    best_cm = jnp.zeros((num_classes, num_classes))
+    best_params = params
+    hist = []
+    for e in range(epochs):
+        params, opt_state, best_val, best_cm, best_params, val_acc = one_epoch(
+            params, opt_state, e, best_val, best_cm, best_params)
+        if track_history:
+            hist.append(float(val_acc))
+    return params, best_val, best_cm, best_params, (
+        jnp.asarray(hist) if track_history else jnp.zeros(()))
+
+
+def run_protocol(name: str, data_root: str = "data",
+                 cfg: Optional[TrainConfig] = None,
+                 num_walks: int = 40, walk_len: int = 4, hidden: int = 64,
+                 kind: str = "merw", rnn: str = "lstm", agg: str = "attention",
+                 quirk_compat: bool = False, rounds: Optional[int] = None,
+                 dropout: float = 0.7,
+                 ) -> Tuple[Dict[str, Tuple[float, float]], list]:
+    """The reference's multi-round CLI driver (PathNet_run.py:406-485).
+
+    Loads the dataset, attaches MERW probabilities, builds the on-device
+    sampler once (paths regenerate per epoch inside the round scan), runs
+    ``rounds`` rounds with per-round splits, and returns
+    (mean/std aggregate, per-round results).
+    """
+    from ..data.registry import DATASETS, load_dataset
+    from ..merw import merw_graph
+    from .results import aggregate_rounds
+
+    cfg = cfg or TrainConfig()
+    rounds = rounds if rounds is not None else cfg.rounds
+    spec_d = DATASETS[name]
+    variant = "homo" if spec_d.variant == "homo" else "hetero"
+
+    results = []
+    ps = None
+    for round_i in range(rounds):
+        g, train_mask, val_mask, test_mask, _ = load_dataset(
+            name, data_root, round_i)
+        if ps is None:
+            if kind == "merw" and not (g.prob < 1.0).any():
+                g = merw_graph(g)
+            ps = PathSampler.build(g, num_walks, walk_len, kind=kind)
+            X = jnp.asarray(g.features)
+            y = jnp.asarray(g.labels)
+            spec = PaggSpec(feat_dim=g.features.shape[1], hidden=hidden,
+                            out_dim=spec_d.num_classes, walk_len=walk_len,
+                            variant=variant, rnn=rnn, agg=agg, dropout=dropout,
+                            quirk_compat=quirk_compat)
+        res = run_round(X, y, ps, spec, cfg, train_mask, val_mask, test_mask,
+                        spec_d.num_classes, seed=cfg.seed + round_i)
+        results.append(res)
+    return aggregate_rounds(results), results
