@@ -20,9 +20,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Measured once via scripts/cpu_reference.py on this host (2x 2.1GHz CPUs):
-# numpy alias-roll sampling, n=63977, nw=40, wl=4.
-CPU_BASELINE_PATHS_PER_S = 1_450_000.0
+# Measured via scripts/cpu_reference.py on this host (2x 2.1GHz CPUs):
+# numpy alias-roll sampling, n=63977, nw=40, wl=4 → 1,248,703 paths/s.
+CPU_BASELINE_PATHS_PER_S = 1_250_000.0
 
 
 def main():
@@ -44,8 +44,11 @@ def main():
     print(f"# setup graph+merw: {time.time() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
+    # distance table built on device: only the edge list crosses the
+    # host-device link (which is a network tunnel on this setup)
     ps = PathSampler.build(g, num_walks=nw, walk_len=wl, kind="merw",
-                           distance_backend="host")
+                           distance_backend="dense", distance_chunk=256)
+    jax.block_until_ready(ps.dist_table)
     print(f"# sampler build (alias + distance table): {time.time() - t0:.1f}s",
           file=sys.stderr)
 

@@ -120,6 +120,57 @@ def load_npy_dataset(root: str, name: str
 
 
 # ---------------------------------------------------------------------------
+# Geom-GCN text format (chameleon / film / squirrel / texas / wisconsin)
+# ---------------------------------------------------------------------------
+
+def load_geomgcn(edge_path: str, feat_path: str
+                 ) -> Tuple[sp.csr_matrix, np.ndarray, np.ndarray]:
+    """Load the Geom-GCN text format (reference: dataset.py:601-680).
+
+    ``out1_graph_edges.txt``: header line then ``u v`` per edge;
+    ``out1_node_feature_label.txt``: header then ``id\\tf1,f2,...\\tlabel``.
+    For the ``film`` dataset features are sparse index lists (931-dim
+    one-hot multi-hot); detected by non-dense feature rows.
+
+    Returns (symmetric binary adj csr, features float32 [n, f], labels int64).
+    """
+    rows = []
+    with open(feat_path) as f:
+        next(f)
+        for line in f:
+            idx, feat, label = line.strip().split("\t")
+            rows.append((int(idx), feat, int(label)))
+    n = max(r[0] for r in rows) + 1
+    first = rows[0][1].split(",")
+    dense = all("." in tok or tok in ("0", "1") for tok in first) and len(first) > 1
+    # film: features are indices into a 931-dim space (dataset.py:641-655)
+    if not dense and all(tok.isdigit() for tok in first):
+        fdim = 931
+        x = np.zeros((n, fdim), np.float32)
+        for idx, feat, _ in rows:
+            x[idx, [int(t) for t in feat.split(",")]] = 1.0
+    else:
+        fdim = len(first)
+        x = np.zeros((n, fdim), np.float32)
+        for idx, feat, _ in rows:
+            x[idx] = [float(t) for t in feat.split(",")]
+    y = np.full(n, -1, np.int64)
+    for idx, _, label in rows:
+        y[idx] = label
+    es, ed = [], []
+    with open(edge_path) as f:
+        next(f)
+        for line in f:
+            u, v = line.split()[:2]
+            es.append(int(u))
+            ed.append(int(v))
+    adj = sp.csr_matrix((np.ones(len(es), np.float32), (es, ed)), shape=(n, n))
+    adj = adj.maximum(adj.T)
+    adj.data = np.ones_like(adj.data)
+    return adj, x, y
+
+
+# ---------------------------------------------------------------------------
 # Planetoid pickles (homophily datasets: cora / citeseer / pubmed)
 # ---------------------------------------------------------------------------
 

@@ -101,6 +101,39 @@ def synthetic_graph(n: int, avg_deg: float, num_classes: int = 5,
                  features=x, labels=y, name=f"sbm_n{n}")
 
 
+def csbm_graph(n: int, d: float, lam: float, mu: float, feat_dim: int,
+               seed: int = 0) -> Graph:
+    """Contextual SBM generator (reference: GPRGNN/cSBM_dataset.py).
+
+    Two balanced classes y ∈ {±1}; edges drawn with intra-class probability
+    ``(d + lam*sqrt(d))/n`` and inter-class ``(d - lam*sqrt(d))/n``;
+    features ``x = sqrt(mu/n)·y·u + Z/sqrt(f)`` with a shared random spike
+    ``u``.  ``lam`` controls graph signal, ``mu`` feature signal — the
+    phase-diagram knobs of the cSBM paper.
+    """
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, 2, size=n)
+    sq = np.sqrt(d)
+    p_in = min(1.0, max(0.0, (d + lam * sq) / n))
+    p_out = min(1.0, max(0.0, (d - lam * sq) / n))
+    # sample edges blockwise via expected counts (sparse Bernoulli approx)
+    m_target = int(n * d)
+    u = rng.integers(0, n, size=3 * m_target)
+    v = rng.integers(0, n, size=3 * m_target)
+    same = y[u] == y[v]
+    keep = np.where(same, rng.random(len(u)) < p_in * n / d / 3,
+                    rng.random(len(u)) < p_out * n / d / 3)
+    u, v = u[keep], v[keep]
+    src = np.concatenate([u, v]).astype(np.int32)
+    dst = np.concatenate([v, u]).astype(np.int32)
+    spike = rng.normal(size=feat_dim) / np.sqrt(feat_dim)
+    z = rng.normal(size=(n, feat_dim)) / np.sqrt(feat_dim)
+    x = (np.sqrt(mu / n) * np.where(y == 1, 1.0, -1.0)[:, None] * spike[None]
+         + z).astype(np.float32)
+    return Graph(n=n, src=src, dst=dst, prob=np.ones(len(src)), features=x,
+                 labels=y.astype(np.int64), name=f"csbm_n{n}")
+
+
 def path_pattern_labels(g: Graph, walk_len: int = 3, num_patterns: int = 16,
                         ) -> np.ndarray:
     """Paper's synthetic path-pattern labels (gen_cora_syn.cpp semantics).

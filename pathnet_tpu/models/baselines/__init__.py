@@ -1,0 +1,15 @@
+from .ops import spmm, segment_softmax, batch_norm, EdgeGraph
+from .zoo import (BASELINES, init_baseline, baseline_forward, BaselineSpec,
+                  build_baseline_graphs)
+
+__all__ = [
+    "batch_norm",
+    "build_baseline_graphs",
+    "spmm",
+    "segment_softmax",
+    "EdgeGraph",
+    "BASELINES",
+    "init_baseline",
+    "baseline_forward",
+    "BaselineSpec",
+]

@@ -1,0 +1,114 @@
+"""CLI — the reference's ``PathNet_run.py`` command surface, TPU-native.
+
+Mirrors the reference flags (PathNet_run.py:44-64) with the same defaults:
+
+    python -m pathnet_tpu.run -data cornell -hid 64 -nw 40 -wl 4 -mk merw
+
+Additions over the reference: ``--model`` selects a baseline from the zoo
+(mlp/gcn/gat/...), ``--rnn``/``--agg`` expose the paper's ablations,
+``--quirk-compat`` reproduces the reference hetero index quirks,
+``--resume`` continues an interrupted multi-round protocol from its
+checkpoints.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="pathnet_tpu training CLI")
+    p.add_argument("-data", "--data_name", type=str, required=True)
+    p.add_argument("-lr", "--learning_rate", type=float, default=0.005)
+    p.add_argument("-dr", "--dropout", type=float, default=0.7)
+    p.add_argument("-e", "--epoch", type=int, default=1000)
+    p.add_argument("-wd", "--weight_decay", type=float, default=0.0005)
+    p.add_argument("-r", "--round", type=int, default=10)
+    p.add_argument("-hid", "--hidden_size", type=int, default=64)
+    p.add_argument("-nw", "--num_of_walks", type=int, default=40)
+    p.add_argument("-wl", "--walk_length", type=int, default=4)
+    p.add_argument("-mk", "--marker", type=str, default="merw",
+                   choices=["merw", "uniform"])
+    p.add_argument("-pr", "--data_root", type=str, default="data")
+    p.add_argument("-mode", "--model_mode", type=str, default="pathnet")
+    p.add_argument("--model", type=str, default="pathnet",
+                   help="pathnet or a baseline: mlp/gcn/gat/sage/gin/sgc/"
+                        "fagcn/h2gcn/mixhop/gprgnn/appnp")
+    p.add_argument("--rnn", type=str, default="lstm",
+                   choices=["lstm", "gru", "mlp"])
+    p.add_argument("--agg", type=str, default="attention",
+                   choices=["attention", "mean", "sum"])
+    p.add_argument("--quirk-compat", action="store_true")
+    p.add_argument("--results-dir", type=str, default="results")
+    p.add_argument("--ckpt-dir", type=str, default="saved_models")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-scan", action="store_true",
+                   help="python epoch loop instead of the on-device scan")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a jax platform (e.g. cpu); uses the config "
+                        "API because plugins may ignore JAX_PLATFORMS")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    from .utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    from .config import TrainConfig
+    from .train.results import append_results
+    from .train import run_protocol
+    from .train.checkpoint import completed_rounds, save_round
+
+    cfg = TrainConfig(lr=args.learning_rate, weight_decay=args.weight_decay,
+                      epochs=args.epoch, rounds=args.round, seed=args.seed,
+                      scan_epochs=not args.no_scan)
+    name = args.data_name
+    t0 = time.time()
+    print(f"{name}: {vars(args)}")
+
+    if args.model == "pathnet":
+        agg, results = run_protocol(
+            name, data_root=args.data_root, cfg=cfg,
+            num_walks=args.num_of_walks, walk_len=args.walk_length,
+            hidden=args.hidden_size, kind=args.marker, rnn=args.rnn,
+            agg=args.agg, quirk_compat=args.quirk_compat,
+            dropout=args.dropout,
+            ckpt_dir=args.ckpt_dir if args.resume else None)
+        mode = args.model_mode
+    else:
+        from .config import TrainConfig as TC
+        from .data.registry import DATASETS, load_dataset
+        from .models.baselines.zoo import BaselineSpec
+        from .train.baseline_trainer import run_baseline_round
+        from .train.results import aggregate_rounds
+
+        spec_d = DATASETS[name]
+        results = []
+        for round_i in range(cfg.rounds):
+            g, tr, va, te, _ = load_dataset(name, args.data_root, round_i)
+            spec = BaselineSpec(name=args.model, feat_dim=g.features.shape[1],
+                                hidden=args.hidden_size,
+                                out_dim=spec_d.num_classes,
+                                dropout=args.dropout)
+            results.append(run_baseline_round(g, spec, cfg, tr, va, te,
+                                              spec_d.num_classes,
+                                              seed=cfg.seed + round_i))
+            print(f"round {round_i}: acc={results[-1].metrics['accuracy']:.4f}")
+        agg = aggregate_rounds(results)
+        mode = args.model
+
+    line = append_results(args.results_dir, name, agg, vars(args), mode)
+    print(line)
+    print(f"total {time.time() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -74,13 +74,22 @@ def bfs_distance_table(g: Graph, max_hops: int, chunk: int = 1024,
     return jnp.concatenate(rows, axis=0)
 
 
-def bfs_distance_table_host(g: Graph, max_hops: int) -> np.ndarray:
-    """Host-side oracle via scipy BFS (validation + host-table mode)."""
+def bfs_distance_table_host(g: Graph, max_hops: int, chunk: int = 2048
+                            ) -> np.ndarray:
+    """Host-side oracle via scipy BFS (validation + host-table mode).
+
+    Chunked over sources so the float64 dijkstra intermediate stays
+    O(chunk * n); the int8 result is O(n^2) host RAM.
+    """
     import scipy.sparse as sp
     import scipy.sparse.csgraph as csgraph
 
     adj = sp.csr_matrix((np.ones(len(g.src), np.float32), (g.src, g.dst)),
                         shape=(g.n, g.n))
-    d = csgraph.dijkstra(adj, unweighted=True, limit=max_hops, directed=True)
-    d = np.where(np.isfinite(d), d, -1).astype(np.int8)
-    return d
+    out = np.empty((g.n, g.n), np.int8)
+    for lo in range(0, g.n, chunk):
+        hi = min(lo + chunk, g.n)
+        d = csgraph.dijkstra(adj, unweighted=True, limit=max_hops,
+                             directed=True, indices=np.arange(lo, hi))
+        out[lo:hi] = np.where(np.isfinite(d), d, -1).astype(np.int8)
+    return out

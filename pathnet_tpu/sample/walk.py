@@ -106,8 +106,9 @@ class PathSampler:
                              self.walk_len)
         if self.dist_table is None:
             return paths, None
-        flat = starts[:, None, None] * self.sampler.n + paths
-        dists = jnp.take(self.dist_table.reshape(-1), flat).astype(jnp.int32)
+        # 2-D advanced indexing: a flattened index would overflow int32 for
+        # n > ~46k (n^2 > 2^31)
+        dists = self.dist_table[starts[:, None, None], paths].astype(jnp.int32)
         return paths, dists
 
     def sample_epoch(self, base_key: jax.Array, epoch) -> tuple:

@@ -1,0 +1,77 @@
+"""Full-batch trainer for the baseline zoo.
+
+Same best-on-validation protocol as the PAGG trainer (PathNet_run.py:
+281-403) but with a plain transductive forward (no path sampling) — used to
+reproduce the paper's comparison table rows (SURVEY.md §6.1).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import TrainConfig
+from ..models.baselines.zoo import (BaselineSpec, baseline_forward,
+                                    build_baseline_graphs, init_baseline)
+from ..nn.metrics import classification_metrics, confusion_matrix
+from .trainer import RoundResult, make_optimizer
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "num_classes", "epochs",
+                                             "optimizer"))
+def _run_scan(params, opt_state, X, y, graphs, train_idx, val_idx, test_idx,
+              base_key, spec: BaselineSpec, num_classes: int, epochs: int,
+              optimizer):
+    def loss_fn(p, key):
+        logits = baseline_forward(p, spec, X, graphs, train=True, key=key)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits[train_idx], y[train_idx]).mean()
+
+    def epoch_step(carry, epoch):
+        params, opt_state, best_val, best_cm = carry
+        kd = jax.random.fold_in(base_key, epoch)
+        grads = jax.grad(loss_fn)(params, kd)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        logits = baseline_forward(params, spec, X, graphs, train=False)
+        pred = jnp.argmax(logits, -1)
+        val_cm = confusion_matrix(y[val_idx], pred[val_idx], num_classes)
+        val_acc = jnp.diagonal(val_cm).sum() / jnp.maximum(val_cm.sum(), 1.0)
+        is_best = val_acc > best_val
+        test_cm = confusion_matrix(y[test_idx], pred[test_idx], num_classes)
+        best_cm = jnp.where(is_best, test_cm, best_cm)
+        best_val = jnp.maximum(best_val, val_acc)
+        return (params, opt_state, best_val, best_cm), val_acc
+
+    init = (params, opt_state, jnp.zeros(()),
+            jnp.zeros((num_classes, num_classes)))
+    (params, opt_state, best_val, best_cm), hist = jax.lax.scan(
+        epoch_step, init, jnp.arange(epochs))
+    return best_val, best_cm, hist
+
+
+def run_baseline_round(g, spec: BaselineSpec, cfg: TrainConfig,
+                       train_mask, val_mask, test_mask, num_classes: int,
+                       seed: int = 0) -> RoundResult:
+    graphs = build_baseline_graphs(g, spec.name)
+    X = jnp.asarray(g.features)
+    y = jnp.asarray(g.labels)
+    key = jax.random.PRNGKey(seed)
+    kinit, kepochs = jax.random.split(key)
+    params = init_baseline(kinit, spec)
+    optimizer = make_optimizer(cfg.lr, cfg.weight_decay)
+    opt_state = optimizer.init(params)
+    best_val, best_cm, hist = _run_scan(
+        params, opt_state, X, y, graphs,
+        jnp.asarray(np.flatnonzero(train_mask), jnp.int32),
+        jnp.asarray(np.flatnonzero(val_mask), jnp.int32),
+        jnp.asarray(np.flatnonzero(test_mask), jnp.int32),
+        kepochs, spec, num_classes, cfg.epochs, optimizer)
+    metrics = {k: float(v) for k, v in classification_metrics(best_cm).items()}
+    return RoundResult(best_val_acc=float(best_val), metrics=metrics)

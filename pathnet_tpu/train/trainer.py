@@ -189,17 +189,21 @@ def run_protocol(name: str, data_root: str = "data",
                  num_walks: int = 40, walk_len: int = 4, hidden: int = 64,
                  kind: str = "merw", rnn: str = "lstm", agg: str = "attention",
                  quirk_compat: bool = False, rounds: Optional[int] = None,
-                 dropout: float = 0.7,
+                 dropout: float = 0.7, ckpt_dir: Optional[str] = None,
+                 verbose: bool = True,
                  ) -> Tuple[Dict[str, Tuple[float, float]], list]:
     """The reference's multi-round CLI driver (PathNet_run.py:406-485).
 
     Loads the dataset, attaches MERW probabilities, builds the on-device
     sampler once (paths regenerate per epoch inside the round scan), runs
     ``rounds`` rounds with per-round splits, and returns
-    (mean/std aggregate, per-round results).
+    (mean/std aggregate, per-round results).  With ``ckpt_dir`` set, each
+    round's best params + metrics are checkpointed and completed rounds are
+    skipped on re-run (resume — absent from the reference, SURVEY.md §5).
     """
     from ..data.registry import DATASETS, load_dataset
     from ..merw import merw_graph
+    from .checkpoint import load_round, save_round
     from .results import aggregate_rounds
 
     cfg = cfg or TrainConfig()
@@ -210,6 +214,16 @@ def run_protocol(name: str, data_root: str = "data",
     results = []
     ps = None
     for round_i in range(rounds):
+        if ckpt_dir is not None:
+            prev = load_round(ckpt_dir, name, round_i)
+            if prev is not None:
+                results.append(RoundResult(
+                    best_val_acc=prev["meta"]["best_val_acc"],
+                    metrics=prev["meta"]["metrics"]))
+                if verbose:
+                    print(f"round {round_i}: resumed from checkpoint "
+                          f"(acc={prev['meta']['metrics']['accuracy']:.4f})")
+                continue
         g, train_mask, val_mask, test_mask, _ = load_dataset(
             name, data_root, round_i)
         if ps is None:
@@ -223,6 +237,13 @@ def run_protocol(name: str, data_root: str = "data",
                             variant=variant, rnn=rnn, agg=agg, dropout=dropout,
                             quirk_compat=quirk_compat)
         res = run_round(X, y, ps, spec, cfg, train_mask, val_mask, test_mask,
-                        spec_d.num_classes, seed=cfg.seed + round_i)
+                        spec_d.num_classes, seed=cfg.seed + round_i,
+                        keep_params=ckpt_dir is not None)
+        if ckpt_dir is not None:
+            save_round(ckpt_dir, name, round_i, res)
+            res.best_params = None
+        if verbose:
+            print(f"round {round_i}: val={res.best_val_acc:.4f} "
+                  f"acc={res.metrics['accuracy']:.4f}")
         results.append(res)
     return aggregate_rounds(results), results

@@ -5,7 +5,9 @@ benchmarks run separately on real TPU hardware via bench.py.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force override: the ambient environment pins JAX_PLATFORMS=axon (a
+# single-chip TPU tunnel); tests must run on the virtual CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
@@ -23,6 +25,10 @@ enable_compilation_cache()
 import jax
 
 jax.config.update("jax_default_matmul_precision", "float32")
+# Plugins (jaxtyping) import jax before this conftest, locking jax_platforms
+# from the ambient env (axon) — override through the config API, which works
+# any time before first backend initialization.
+jax.config.update("jax_platforms", "cpu")
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,73 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pathnet_tpu.config import TrainConfig
+from pathnet_tpu.data import ratio_masks
+from pathnet_tpu.models.baselines import BASELINES
+from pathnet_tpu.models.baselines.zoo import (BaselineSpec, baseline_forward,
+                                              build_baseline_graphs,
+                                              init_baseline)
+from pathnet_tpu.train.baseline_trainer import run_baseline_round
+
+
+@pytest.mark.parametrize("name", BASELINES)
+def test_baseline_forward_finite(name, small_graph):
+    g = small_graph
+    spec = BaselineSpec(name=name, feat_dim=g.features.shape[1], hidden=8,
+                        out_dim=3, heads=2, n_nodes=g.n)
+    params = init_baseline(jax.random.PRNGKey(0), spec)
+    graphs = build_baseline_graphs(g, name)
+    out = baseline_forward(params, spec, jnp.asarray(g.features), graphs,
+                           train=False)
+    assert out.shape == (g.n, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    out_t = baseline_forward(params, spec, jnp.asarray(g.features), graphs,
+                             train=True, key=jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(out_t)).all()
+
+
+@pytest.mark.parametrize("name", ["mlp", "gcn", "sage"])
+def test_baseline_round_learns(name, small_graph):
+    g = small_graph
+    spec = BaselineSpec(name=name, feat_dim=g.features.shape[1], hidden=16,
+                        out_dim=3, dropout=0.3)
+    cfg = TrainConfig(lr=0.01, weight_decay=5e-4, epochs=120)
+    tr, va, te = ratio_masks(g.n, seed=0)
+    res = run_baseline_round(g, spec, cfg, tr, va, te, num_classes=3, seed=0)
+    assert res.best_val_acc > 0.5
+    assert res.metrics["accuracy"] > 0.45
+
+
+def test_label_propagation_and_correct_smooth(small_graph):
+    g = small_graph
+    from pathnet_tpu.data import ratio_masks
+    from pathnet_tpu.models.baselines import EdgeGraph
+    from pathnet_tpu.models.baselines.cs import (correct_and_smooth,
+                                                 label_propagation)
+    eg = EdgeGraph.from_graph(g, norm="sym", add_self_loops=True)
+    tr, va, te = ratio_masks(g.n, seed=0)
+    y1 = jnp.asarray(np.eye(3)[g.labels], jnp.float32)
+    z = label_propagation(eg, y1, jnp.asarray(tr))
+    acc_lp = float((jnp.argmax(z, 1) == jnp.asarray(g.labels))[jnp.asarray(te)].mean())
+    assert acc_lp > 1.0 / 3  # homophilous graph: LP beats chance
+    soft = jnp.full((g.n, 3), 1.0 / 3)
+    z2 = correct_and_smooth(eg, soft, y1, jnp.asarray(tr))
+    acc_cs = float((jnp.argmax(z2, 1) == jnp.asarray(g.labels))[jnp.asarray(te)].mean())
+    assert acc_cs > 1.0 / 3
+    assert np.isfinite(np.asarray(z2)).all()
+
+
+def test_homophily_measures(small_graph):
+    from pathnet_tpu.data.homophily import (compatibility_matrix,
+                                            edge_homophily, node_homophily)
+    g = small_graph
+    eh = edge_homophily(g, g.labels)
+    nh = node_homophily(g, g.labels)
+    assert 0 <= eh <= 1 and 0 <= nh <= 1
+    assert eh > 1.0 / 3  # generator targeted homophily 0.6 over 3 classes
+    cm = compatibility_matrix(g, g.labels, 3)
+    np.testing.assert_allclose(cm.sum(1), 1.0, atol=1e-9)
+    # diagonal dominance for a homophilous graph
+    assert np.diag(cm).mean() > 1.0 / 3

@@ -1,0 +1,64 @@
+"""Mesh-partitioned execution == single-device execution (SURVEY.md §4)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from pathnet_tpu.models import PaggSpec, init_pagg_params
+from pathnet_tpu.parallel import make_mesh, sharded_train_step
+from pathnet_tpu.sample import PathSampler
+from pathnet_tpu.train import make_optimizer
+
+
+def _problem(small_graph):
+    g = small_graph
+    ps = PathSampler.build(g, num_walks=8, walk_len=3)
+    spec = PaggSpec(feat_dim=g.features.shape[1], hidden=16, out_dim=3,
+                    walk_len=3, variant="hetero", dropout=0.0)
+    params = init_pagg_params(jax.random.PRNGKey(0), spec)
+    X = jnp.asarray(g.features)
+    y = jnp.asarray(g.labels)
+    # padded index sets divisible by 8
+    train_idx = jnp.arange(0, 24, dtype=jnp.int32)
+    val_idx = jnp.arange(24, 48, dtype=jnp.int32)
+    return g, ps, spec, params, X, y, train_idx, val_idx
+
+
+def test_eight_device_mesh_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_step_matches_single_device(small_graph):
+    g, ps, spec, params, X, y, train_idx, val_idx = _problem(small_graph)
+    optimizer = make_optimizer(5e-3, 5e-4)
+    opt_state = optimizer.init(params)
+    key = jax.random.PRNGKey(42)
+
+    mesh8 = make_mesh(n_devices=8)
+    step8 = sharded_train_step(mesh8, spec, optimizer, num_classes=3)
+    p8, _, loss8, acc8 = step8(params, opt_state, X, y, ps, train_idx,
+                               val_idx, key)
+
+    mesh1 = make_mesh(n_devices=1)
+    step1 = sharded_train_step(mesh1, spec, optimizer, num_classes=3)
+    p1, _, loss1, acc1 = step1(params, opt_state, X, y, ps, train_idx,
+                               val_idx, key)
+
+    assert np.allclose(float(loss8), float(loss1), atol=1e-5)
+    assert np.allclose(float(acc8), float(acc1), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p8), jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_multi_step_training_progresses(small_graph):
+    g, ps, spec, params, X, y, train_idx, val_idx = _problem(small_graph)
+    optimizer = make_optimizer(1e-2, 5e-4)
+    opt_state = optimizer.init(params)
+    mesh = make_mesh(n_devices=8)
+    step = sharded_train_step(mesh, spec, optimizer, num_classes=3)
+    losses = []
+    for e in range(20):
+        params, opt_state, loss, acc = step(params, opt_state, X, y, ps,
+                                            train_idx, val_idx,
+                                            jax.random.PRNGKey(e))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
