@@ -38,24 +38,35 @@ def main():
 
     n, nw, wl = 63977, 40, 4
     t0 = time.time()
-    g = synthetic_graph(n=n, avg_deg=10.0, num_classes=8, homophily=0.37,
-                        feat_dim=8, seed=42)
-    g = merw_graph(g)
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data",
+                         "bench_cache", f"bgp_standin_{n}.npz")
+    if os.path.exists(cache):
+        from pathnet_tpu.data import Graph
+        z = np.load(cache)
+        g = Graph(n=int(z["n"]), src=z["src"], dst=z["dst"], prob=z["prob"],
+                  features=z["x"], labels=z["y"], name="bgp_standin")
+    else:
+        g = synthetic_graph(n=n, avg_deg=10.0, num_classes=8, homophily=0.37,
+                            feat_dim=8, seed=42)
+        g = merw_graph(g)
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        np.savez_compressed(cache, n=g.n, src=g.src, dst=g.dst, prob=g.prob,
+                            x=g.features, y=g.labels)
     print(f"# setup graph+merw: {time.time() - t0:.1f}s", file=sys.stderr)
 
     t0 = time.time()
-    # distance table built on device: only the edge list crosses the
-    # host-device link (which is a network tunnel on this setup)
-    ps = PathSampler.build(g, num_walks=nw, walk_len=wl, kind="merw",
-                           distance_backend="dense", distance_chunk=256)
-    jax.block_until_ready(ps.dist_table)
-    print(f"# sampler build (alias + distance table): {time.time() - t0:.1f}s",
-          file=sys.stderr)
+    # defaults: inverse-CDF row-gather sampler + N1/N2 membership distances
+    # (both vector formulations — scalar gathers are latency-bound on TPU)
+    ps = PathSampler.build(g, num_walks=nw, walk_len=wl, kind="merw")
+    print(f"# sampler build: {time.time() - t0:.1f}s", file=sys.stderr)
 
     key = jax.random.PRNGKey(0)
     # warmup (compile)
+    t0 = time.time()
     paths, dists = ps.sample_epoch(key, 0)
     jax.block_until_ready((paths, dists))
+    print(f"# warmup (compile + 1 epoch): {time.time() - t0:.1f}s",
+          file=sys.stderr)
 
     epochs = 20
     t0 = time.time()

@@ -137,8 +137,16 @@ def merw_record_probs(g: Graph, psi: np.ndarray, lam: float,
     files).
     """
     psi = np.asarray(psi, np.float64)
-    a = _adjacency_csr(g, weights, binary=weights is None)
-    a_uv = np.asarray(a[g.src, g.dst]).ravel()
+    # per-record adjacency entries without scipy fancy indexing (which is
+    # O(minutes) for millions of records): group duplicate (u, v) records
+    # via packed-key unique + bincount.
+    key = g.src.astype(np.int64) * g.n + g.dst.astype(np.int64)
+    _, inv = np.unique(key, return_inverse=True)
+    data = weights if weights is not None else np.ones(len(g.src))
+    if weights is None:
+        a_uv = np.ones(len(g.src))                 # binary adjacency
+    else:
+        a_uv = np.bincount(inv, weights=data)[inv]  # duplicate records sum
     return a_uv * psi[g.dst] / (float(lam) * psi[g.src])
 
 

@@ -74,6 +74,71 @@ def bfs_distance_table(g: Graph, max_hops: int, chunk: int = 1024,
     return jnp.concatenate(rows, axis=0)
 
 
+def membership_dists(nbr: jnp.ndarray, deg: jnp.ndarray, starts: jnp.ndarray,
+                     paths: jnp.ndarray, chunk: int = 8192) -> jnp.ndarray:
+    """Exact truncated-BFS distances of walk nodes WITHOUT the [n, n] table.
+
+    Valid for ``walk_len <= 4``.  Key facts: a node at walk position ``i``
+    satisfies ``d(start, v_i) = min(i, first BFS level containing v_i)``, so
+    - position 0: d = 0;
+    - position 1: d = 0 iff v == start else 1 (walks follow edges);
+    - position 2: needs only an N1(start) membership test;
+    - position 3: needs N1 and N2 tests, where ``v ∈ N2(s)`` iff
+      ``N(v) ∩ N(s) ≠ ∅`` (symmetric graph).
+
+    N1 tests are padded-row compares against ``nbr[s]`` — zero gathers when
+    starts are all nodes in order; the N2 test is one row gather
+    (``nbr[v3]``) plus a chunked [C, nw, D, D] compare.  Everything is
+    vector (VPU) work — no scalar gathers, unlike the [n, n] table lookup,
+    which is latency-bound on TPU.
+
+    Shapes: nbr [n, D], deg [n], starts [S], paths [S, nw, wl<=4];
+    returns int32 [S, nw, wl].
+    """
+    S, nw, wl = paths.shape
+    assert wl <= 4, "membership distance mode supports walk_len <= 4"
+    D = nbr.shape[1]
+    nbr_s = nbr[starts]                               # [S, D]
+    mask_s = jnp.arange(D)[None, :] < deg[starts][:, None]   # [S, D]
+    sv = starts[:, None]                              # [S, 1]
+
+    def n1_test(v):   # v: [S, nw] -> bool [S, nw]
+        hit = (nbr_s[:, None, :] == v[:, :, None]) & mask_s[:, None, :]
+        return jnp.any(hit, axis=-1)
+
+    cols = [jnp.zeros((S, nw), jnp.int32)]
+    if wl > 1:
+        v1 = paths[:, :, 1]
+        cols.append(jnp.where(v1 == sv, 0, 1).astype(jnp.int32))
+    if wl > 2:
+        v2 = paths[:, :, 2]
+        d2 = jnp.where(v2 == sv, 0, jnp.where(n1_test(v2), 1, 2))
+        cols.append(d2.astype(jnp.int32))
+    if wl > 3:
+        v3 = paths[:, :, 3]
+        in1 = n1_test(v3)
+
+        def n2_chunk(args):
+            nbr_v, mv, ns, ms = args
+            # common neighbor: any j,k with nbr_v[.., j] == nbr_s[.., k]
+            hit = (nbr_v[:, :, :, None] == ns[:, None, None, :])
+            hit = hit & mv[:, :, :, None] & ms[:, None, None, :]
+            return jnp.any(hit, axis=(-1, -2))
+
+        nbr_v3 = nbr[v3]                              # [S, nw, D] row gather
+        mask_v3 = jnp.arange(D)[None, None, :] < deg[v3][:, :, None]
+        outs = []
+        for lo in range(0, S, chunk):
+            hi = min(lo + chunk, S)
+            outs.append(n2_chunk((nbr_v3[lo:hi], mask_v3[lo:hi],
+                                  nbr_s[lo:hi], mask_s[lo:hi])))
+        in2 = jnp.concatenate(outs, axis=0)
+        d3 = jnp.where(v3 == sv, 0,
+                       jnp.where(in1, 1, jnp.where(in2, 2, 3)))
+        cols.append(d3.astype(jnp.int32))
+    return jnp.stack(cols, axis=-1)
+
+
 def bfs_distance_table_host(g: Graph, max_hops: int, chunk: int = 2048
                             ) -> np.ndarray:
     """Host-side oracle via scipy BFS (validation + host-table mode).

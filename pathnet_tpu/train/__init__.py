@@ -6,6 +6,8 @@ from .trainer import (
     run_protocol,
 )
 from .results import format_result_line, aggregate_rounds
+from .inference import predict, evaluate
+from .baseline_trainer import run_baseline_round
 
 __all__ = [
     "TrainConfig",
@@ -15,4 +17,7 @@ __all__ = [
     "run_protocol",
     "format_result_line",
     "aggregate_rounds",
+    "predict",
+    "evaluate",
+    "run_baseline_round",
 ]

@@ -131,3 +131,31 @@ def test_uniform_kind_symmetrizes():
     assert (p[2] == 2).all()
     # node 1 can reach 0 via the symmetrized reverse edge
     assert (p[1] == 0).any()
+
+
+def test_membership_dists_match_table(cornell_graph):
+    """The membership (N1/N2) distance backend equals the dense-table
+    backend for walk_len <= 4."""
+    import jax
+    ps_m = PathSampler.build(cornell_graph, num_walks=10, walk_len=4,
+                             distance_backend="membership")
+    ps_t = PathSampler.build(cornell_graph, num_walks=10, walk_len=4,
+                             distance_backend="dense", distance_chunk=64)
+    k = jax.random.PRNGKey(5)
+    pm, dm = ps_m.sample_epoch(k, 0)
+    pt, dt = ps_t.sample_epoch(k, 0)
+    np.testing.assert_array_equal(np.asarray(pm), np.asarray(pt))
+    np.testing.assert_array_equal(np.asarray(dm), np.asarray(dt))
+
+
+def test_membership_dists_small_graph(small_graph):
+    import jax
+    ps_m = PathSampler.build(small_graph, num_walks=6, walk_len=3,
+                             distance_backend="membership")
+    ps_t = PathSampler.build(small_graph, num_walks=6, walk_len=3,
+                             distance_backend="host")
+    k = jax.random.PRNGKey(9)
+    pm, dm = ps_m.sample_epoch(k, 2)
+    pt, dt = ps_t.sample_epoch(k, 2)
+    np.testing.assert_array_equal(np.asarray(pm), np.asarray(pt))
+    np.testing.assert_array_equal(np.asarray(dm), np.asarray(dt))
