@@ -60,20 +60,38 @@ def main():
     ps = PathSampler.build(g, num_walks=nw, walk_len=wl, kind="merw")
     print(f"# sampler build: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    key = jax.random.PRNGKey(0)
-    # warmup (compile)
-    t0 = time.time()
-    paths, dists = ps.sample_epoch(key, 0)
-    jax.block_until_ready((paths, dists))
-    print(f"# warmup (compile + 1 epoch): {time.time() - t0:.1f}s",
-          file=sys.stderr)
+    import jax.numpy as jnp
 
-    epochs = 20
+    key = jax.random.PRNGKey(0)
+    epochs = 50
+
+    # All `epochs` epochs inside one jitted scan — zero dispatch overhead,
+    # matching how the training loop consumes the sampler.  A checksum
+    # consumes each epoch's tensors so nothing is dead-code-eliminated.
+    def many(ps, key):
+        def body(acc, e):
+            paths, dists = ps.sample_epoch(key, e)
+            # full-tensor reduction: a sliced checksum lets XLA dead-code
+            # eliminate the whole epoch (observed: "51B paths/s")
+            return acc + jnp.sum(paths) + jnp.sum(dists), None
+        out, _ = jax.lax.scan(body, jnp.int32(0), jnp.arange(epochs))
+        return out
+
+    many = jax.jit(many)
     t0 = time.time()
-    for e in range(1, epochs + 1):
-        paths, dists = ps.sample_epoch(key, e)
-    jax.block_until_ready((paths, dists))
-    dt = time.time() - t0
+    cs0 = int(jax.device_get(many(ps, key)))
+    print(f"# warmup (compile + {epochs} epochs): {time.time() - t0:.1f}s "
+          f"checksum={cs0}", file=sys.stderr)
+
+    # device_get inside the timed region — block_until_ready on scalars has
+    # been observed to return early through the experimental tunnel backend
+    times = []
+    for rep in range(1, 4):
+        t0 = time.time()
+        cs = int(jax.device_get(many(ps, jax.random.PRNGKey(rep))))
+        times.append(time.time() - t0)
+        print(f"# rep {rep}: {times[-1]:.2f}s checksum={cs}", file=sys.stderr)
+    dt = sorted(times)[1]   # median of 3
 
     pps = epochs * n * nw / dt
     print(f"# {dt / epochs * 1000:.1f} ms/epoch on {jax.devices()[0]}",

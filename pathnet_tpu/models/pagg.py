@@ -66,6 +66,10 @@ class PaggSpec:
     agg: str = "attention"       # "attention" | "mean" | "sum"
     dropout: float = 0.7
     quirk_compat: bool = False
+    # rematerialize the gather→transform→RNN block under grad (trades ~2x
+    # encode FLOPs for O(B·wl·H) activation memory; required for 64k-node
+    # full-batch training in 16G HBM)
+    remat: bool = True
 
 
 def init_pagg_params(key: jax.Array, spec: PaggSpec, dtype=jnp.float32
@@ -104,12 +108,19 @@ def _dropout(x, rate, train, key):
 def _dist_select(params, x_flat, dist_flat, walk_len):
     """All wl linear transforms + per-element distance selection.
 
-    x_flat [B, H], dist_flat [B] int → [B, H].
+    x_flat [B, H], dist_flat [B] int → [B, H].  Accumulate form: masked sum
+    of per-layer transforms — same math as the reference's
+    wl-GEMMs + stack + advanced-index (PathNet_run.py:186-192), but peak
+    memory is one [B, H] temporary instead of the [B, wl, H] stack (which
+    OOMs 64k-node graphs at full batch).
     """
-    z = jnp.einsum("bh,khj->bkj", x_flat, params["dist"]["w"])
-    z = z + params["dist"]["b"][None]
     d = jnp.clip(dist_flat, 0, walk_len - 1)
-    return jnp.take_along_axis(z, d[:, None, None], axis=1)[:, 0]
+    out = jnp.zeros((x_flat.shape[0], params["dist"]["w"].shape[2]),
+                    x_flat.dtype)
+    for k in range(walk_len):
+        zk = x_flat @ params["dist"]["w"][k] + params["dist"]["b"][k]
+        out = out + jnp.where((d == k)[:, None], zk, 0.0)
+    return out
 
 
 def _encode(params, seq, rnn):
@@ -138,31 +149,39 @@ def pagg_forward(params, X: jnp.ndarray, paths: jnp.ndarray,
     if spec.variant == "homo":
         h = jax.nn.relu(h)
 
-    nei = h[paths]                       # [T, nw, wl, H]
     B = T * nw
     H = spec.hidden
 
     if spec.variant == "hetero" and spec.quirk_compat:
-        return _hetero_quirk_forward(params, h, nei, dists, ego_idx, spec,
-                                     train, k1, k2)
+        return _hetero_quirk_forward(params, h, h[paths], dists, ego_idx,
+                                     spec, train, k1, k2)
 
-    if spec.variant == "hetero":
-        seq_in = jnp.flip(nei, axis=2)
-        d_in = jnp.flip(dists, axis=2)
-    else:
-        seq_in, d_in = nei, dists
+    def encode_block(params, h, paths, dists, k1):
+        """gather → distance transform → RNN.  Rematerialized under grad
+        (spec.remat): backward recomputes the [T, nw, wl, H] gather and the
+        per-step LSTM gates instead of storing them — the difference between
+        fitting and OOMing 64k-node full-batch training in 16G HBM."""
+        nei = h[paths]                               # [T, nw, wl, H]
+        if spec.variant == "hetero":
+            seq_in = jnp.flip(nei, axis=2)
+            d_in = jnp.flip(dists, axis=2)
+        else:
+            seq_in, d_in = nei, dists
+        sel = _dist_select(params, seq_in.reshape(B * wl, H),
+                           d_in.reshape(B * wl), wl).reshape(T, nw, wl, H)
+        if spec.variant == "homo":
+            sel = jax.nn.relu(sel)
+            ego_per_path = sel[:, :, 0, :]           # selected position-0 (:259)
+        else:
+            ego_per_path = nei[:, :, 0, :]           # fc0 feats of the start (:199)
+        seq = sel.reshape(B, wl, H).transpose(1, 0, 2)   # [wl, B, H]
+        seq = _dropout(seq, spec.dropout, train, k1)
+        h_n = _encode(params, seq, spec.rnn).reshape(T, nw, H)
+        return h_n, ego_per_path
 
-    sel = _dist_select(params, seq_in.reshape(B * wl, H),
-                       d_in.reshape(B * wl), wl).reshape(T, nw, wl, H)
-    if spec.variant == "homo":
-        sel = jax.nn.relu(sel)
-        ego_per_path = sel[:, :, 0, :]               # selected position-0 (:259)
-    else:
-        ego_per_path = nei[:, :, 0, :]               # fc0 feats of the start (:199)
-
-    seq = sel.reshape(B, wl, H).transpose(1, 0, 2)   # [wl, B, H]
-    seq = _dropout(seq, spec.dropout, train, k1)
-    h_n = _encode(params, seq, spec.rnn).reshape(T, nw, H)
+    if spec.remat:
+        encode_block = jax.checkpoint(encode_block)
+    h_n, ego_per_path = encode_block(params, h, paths, dists, k1)
 
     if spec.agg == "attention":
         cat = jnp.concatenate([h_n, ego_per_path], axis=-1)

@@ -57,7 +57,7 @@ def replicate(mesh: Mesh, tree):
 
 
 def sharded_train_step(mesh: Mesh, spec: PaggSpec, optimizer,
-                       num_classes: int):
+                       num_classes: int, shard_features: bool = False):
     """Build a jitted SPMD train+eval step.
 
     Signature of the returned fn:
@@ -68,9 +68,16 @@ def sharded_train_step(mesh: Mesh, spec: PaggSpec, optimizer,
     by the caller; the per-epoch path tensor is sampled inside the step and
     constrained to the ``data`` sharding so sampling, gather, and the PAGG
     forward/backward all run node-partitioned.
+
+    ``shard_features=True`` is the graph-partitioned mode: X lives sharded
+    on the ``data`` axis (memory O(n·F/d) per device) and the cross-shard
+    feature exchange for path gathers (a walk may visit any shard's nodes)
+    is inserted by GSPMD — the TPU-native equivalent of the boundary
+    all-to-all described in SURVEY.md §2.7.
     """
     data_sharding = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
+    x_sharding = data_sharding if shard_features else repl
 
     def step(params, opt_state, X, y, ps: PathSampler, train_idx, val_idx, key):
         kp, kd = jax.random.split(key)
@@ -96,7 +103,7 @@ def sharded_train_step(mesh: Mesh, spec: PaggSpec, optimizer,
 
     return jax.jit(
         step,
-        in_shardings=(repl, repl, repl, repl, repl, data_sharding,
+        in_shardings=(repl, repl, x_sharding, repl, repl, data_sharding,
                       data_sharding, repl),
         out_shardings=(repl, repl, repl, repl),
     )

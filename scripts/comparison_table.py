@@ -1,0 +1,59 @@
+"""Reproduce a column of the paper's comparison table (SURVEY.md §6.1):
+PathNet + every baseline on one dataset, mean±std accuracy over rounds.
+
+Usage: python scripts/comparison_table.py cornell [rounds] [epochs] [--cpu]
+"""
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main():
+    from pathnet_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    name = args[0] if args else "cornell"
+    rounds = int(args[1]) if len(args) > 1 else 10
+    epochs = int(args[2]) if len(args) > 2 else 500
+    if "--cpu" in sys.argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from pathnet_tpu.config import TrainConfig
+    from pathnet_tpu.data.registry import DATASETS, load_dataset
+    from pathnet_tpu.models.baselines import BASELINES
+    from pathnet_tpu.models.baselines.zoo import BaselineSpec
+    from pathnet_tpu.train import run_protocol, run_baseline_round
+    from pathnet_tpu.train.results import aggregate_rounds
+
+    spec_d = DATASETS[name]
+    cfg = TrainConfig(epochs=epochs, rounds=rounds)
+    rows = []
+
+    agg, _ = run_protocol(name, cfg=cfg, verbose=False)
+    rows.append(("PathNet", agg["accuracy"]))
+
+    for model in BASELINES:
+        results = []
+        for round_i in range(rounds):
+            g, tr, va, te, _ = load_dataset(name, "data", round_i)
+            spec = BaselineSpec(name=model, feat_dim=g.features.shape[1],
+                                hidden=64, out_dim=spec_d.num_classes,
+                                n_nodes=g.n)
+            results.append(run_baseline_round(g, spec, cfg, tr, va, te,
+                                              spec_d.num_classes,
+                                              seed=round_i))
+        agg = aggregate_rounds(results)
+        rows.append((model, agg["accuracy"]))
+        print(f"...{model} done", file=sys.stderr)
+
+    print(f"\n=== {name}: test accuracy % (mean ± std over {rounds} rounds,"
+          f" {epochs} epochs) ===")
+    for model, (m, s) in rows:
+        print(f"{model:12s} {100 * m:6.2f} ± {100 * s:.2f}")
+
+
+if __name__ == "__main__":
+    main()

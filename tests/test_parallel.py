@@ -62,3 +62,27 @@ def test_multi_step_training_progresses(small_graph):
                                             jax.random.PRNGKey(e))
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_sharded_features_matches_replicated(small_graph):
+    """Graph-partitioned X (boundary exchange via GSPMD) == replicated X."""
+    g, ps, spec, params, X, y, train_idx, val_idx = _problem(small_graph)
+    optimizer = make_optimizer(5e-3, 5e-4)
+    opt_state = optimizer.init(params)
+    key = jax.random.PRNGKey(7)
+    mesh = make_mesh(n_devices=4)
+    # n=60 is not divisible by 4; pad node-indexed tensors to 64
+    pad = 4
+    Xp = jnp.pad(X, ((0, pad), (0, 0)))
+    yp = jnp.pad(y, (0, pad))
+    step_r = sharded_train_step(mesh, spec, optimizer, 3, shard_features=False)
+    step_s = sharded_train_step(mesh, spec, optimizer, 3, shard_features=True)
+    # note: ps samples paths for the unpadded n nodes; gathers into Xp rows
+    pr, _, loss_r, acc_r = step_r(params, opt_state, Xp, yp, ps, train_idx,
+                                  val_idx, key)
+    ps_, _, loss_s, acc_s = step_s(params, opt_state, Xp, yp, ps, train_idx,
+                                   val_idx, key)
+    assert np.allclose(float(loss_r), float(loss_s), atol=1e-5)
+    assert np.allclose(float(acc_r), float(acc_s), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(pr), jax.tree_util.tree_leaves(ps_)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
