@@ -57,6 +57,11 @@ class TrainConfig:
     # Run the whole epoch loop as one on-device lax.scan (fast path) or as a
     # Python loop of jitted steps (debuggable / large-graph path).
     scan_epochs: bool = True
+    # Gradient-accumulation chunk size (nodes per microbatch). None = one
+    # full-batch shot.  Identical math (grads sum, CE stays a mean over the
+    # full mask); bounds activation memory for 64k-node graphs where lane
+    # padding inflates small-hidden activations 4x.
+    microbatch: Optional[int] = None
     eval_every: int = 1
     checkpoint_dir: Optional[str] = None
     results_dir: Optional[str] = None

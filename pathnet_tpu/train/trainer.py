@@ -65,35 +65,108 @@ def _eval_cm(params, X, paths, dists, idx, y, spec, num_classes):
     return confusion_matrix(y, pred, num_classes)
 
 
+def _pad_chunks(idx: np.ndarray, chunk: int):
+    """Pad an index set to a multiple of ``chunk``; returns (idx [K, C],
+    weights [K, C]) with padded entries weighted 0 (they index node 0)."""
+    m = len(idx)
+    k = max(1, -(-m // chunk))
+    padded = np.zeros(k * chunk, np.int32)
+    padded[:m] = idx
+    w = np.zeros(k * chunk, np.float32)
+    w[:m] = 1.0
+    return padded.reshape(k, chunk), w.reshape(k, chunk)
+
+
+def _chunked_grads(params, X, paths, dists, idx_chunks, y, w_chunks, spec, key):
+    """Full-batch gradients by microbatch accumulation (exact: CE mean over
+    all weighted rows; grads sum over chunks inside a lax.scan, so only one
+    chunk's activations are ever live)."""
+    total = jnp.maximum(w_chunks.sum(), 1.0)
+
+    def wsum_loss(p, idx_c, w_c, kd):
+        logits = pagg_forward(p, X, paths[idx_c], dists[idx_c], idx_c, spec,
+                              train=True, key=kd)
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, y[idx_c])
+        return jnp.sum(ce * w_c)
+
+    zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+    def body(acc, inp):
+        idx_c, w_c, i = inp
+        kd = jax.random.fold_in(key, i)
+        g = jax.grad(wsum_loss)(params, idx_c, w_c, kd)
+        return jax.tree_util.tree_map(jnp.add, acc, g), None
+
+    k = idx_chunks.shape[0]
+    acc, _ = jax.lax.scan(body, zero,
+                          (idx_chunks, w_chunks, jnp.arange(k)))
+    return jax.tree_util.tree_map(lambda g: g / total, acc)
+
+
+def _chunked_cm(params, X, paths, dists, idx_chunks, y, w_chunks, spec,
+                num_classes):
+    def body(cm, inp):
+        idx_c, w_c = inp
+        logits = pagg_forward(params, X, paths[idx_c], dists[idx_c], idx_c,
+                              spec, train=False)
+        pred = jnp.argmax(logits, axis=-1)
+        return cm + confusion_matrix(y[idx_c], pred, num_classes,
+                                     weights=w_c), None
+    cm, _ = jax.lax.scan(body, jnp.zeros((num_classes, num_classes)),
+                         (idx_chunks, w_chunks))
+    return cm
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("spec", "num_classes", "epochs", "optimizer", "track_history"))
+    static_argnames=("spec", "num_classes", "epochs", "optimizer",
+                     "track_history", "microbatch"))
 def _run_round_scan(params, opt_state, X, y, ps: PathSampler,
                     train_idx, val_idx, test_idx, base_key,
                     spec: PaggSpec, num_classes: int, epochs: int,
-                    optimizer, track_history: bool):
-    y_train, y_val, y_test = y[train_idx], y[val_idx], y[test_idx]
+                    optimizer, track_history: bool,
+                    microbatch: Optional[int] = None):
+    if microbatch is None:
+        y_train, y_val, y_test = y[train_idx], y[val_idx], y[test_idx]
+    else:
+        # chunked index sets are prepared host-side by run_round:
+        # each of train/val/test_idx is a ([K, C] indices, [K, C] weights) pair
+        tr_c, tr_w = train_idx
+        va_c, va_w = val_idx
+        te_c, te_w = test_idx
 
     def epoch_step(carry, epoch):
         params, opt_state, best_val, best_cm, best_params = carry
         kp, kd = jax.random.split(jax.random.fold_in(base_key, epoch))
         paths, dists = ps.sample(kp)
 
-        grads = jax.grad(_loss_fn)(params, X, paths[train_idx], dists[train_idx],
-                                   train_idx, y_train, spec, kd)
+        if microbatch is None:
+            grads = jax.grad(_loss_fn)(params, X, paths[train_idx],
+                                       dists[train_idx], train_idx, y_train,
+                                       spec, kd)
+        else:
+            grads = _chunked_grads(params, X, paths, dists, tr_c, y, tr_w,
+                                   spec, kd)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
 
-        val_cm = _eval_cm(params, X, paths[val_idx], dists[val_idx], val_idx,
-                          y_val, spec, num_classes)
+        if microbatch is None:
+            val_cm = _eval_cm(params, X, paths[val_idx], dists[val_idx],
+                              val_idx, y_val, spec, num_classes)
+        else:
+            val_cm = _chunked_cm(params, X, paths, dists, va_c, y, va_w,
+                                 spec, num_classes)
         val_acc = jnp.diagonal(val_cm).sum() / jnp.maximum(val_cm.sum(), 1.0)
         is_best = val_acc > best_val
 
-        test_cm = jax.lax.cond(
-            is_best,
-            lambda: _eval_cm(params, X, paths[test_idx], dists[test_idx],
-                             test_idx, y_test, spec, num_classes),
-            lambda: best_cm)
+        def test_eval():
+            if microbatch is None:
+                return _eval_cm(params, X, paths[test_idx], dists[test_idx],
+                                test_idx, y_test, spec, num_classes)
+            return _chunked_cm(params, X, paths, dists, te_c, y, te_w, spec,
+                               num_classes)
+
+        test_cm = jax.lax.cond(is_best, test_eval, lambda: best_cm)
         best_cm = jnp.where(is_best, test_cm, best_cm)
         best_val = jnp.maximum(best_val, val_acc)
         best_params = jax.tree_util.tree_map(
@@ -123,12 +196,21 @@ def run_round(X: jnp.ndarray, y: jnp.ndarray, ps: PathSampler, spec: PaggSpec,
     train_idx = jnp.asarray(np.flatnonzero(train_mask), jnp.int32)
     val_idx = jnp.asarray(np.flatnonzero(val_mask), jnp.int32)
     test_idx = jnp.asarray(np.flatnonzero(test_mask), jnp.int32)
+    if cfg.microbatch is not None:
+        train_idx, val_idx, test_idx = (
+            tuple(jnp.asarray(a) for a in _pad_chunks(np.asarray(i),
+                                                      cfg.microbatch))
+            for i in (train_idx, val_idx, test_idx))
 
     if cfg.scan_epochs:
         params, best_val, best_cm, best_params, hist = _run_round_scan(
             params, opt_state, X, y, ps, train_idx, val_idx, test_idx,
-            kepochs, spec, num_classes, cfg.epochs, optimizer, track_history)
+            kepochs, spec, num_classes, cfg.epochs, optimizer, track_history,
+            cfg.microbatch)
     else:
+        if cfg.microbatch is not None:
+            raise NotImplementedError(
+                "microbatch accumulation requires scan_epochs=True")
         params, best_val, best_cm, best_params, hist = _run_round_python(
             params, opt_state, X, y, ps, train_idx, val_idx, test_idx,
             kepochs, spec, num_classes, cfg.epochs, optimizer, track_history)

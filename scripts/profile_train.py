@@ -36,7 +36,7 @@ def main():
     y = jnp.asarray(g.labels)
 
     for epochs in (5, 30):
-        cfg = TrainConfig(epochs=epochs, scan_epochs=True)
+        cfg = TrainConfig(epochs=epochs, scan_epochs=True, microbatch=8192)
         t0 = time.time()
         res = run_round(X, y, ps, spec, cfg, tr, va, te, num_classes=8, seed=0)
         dt = time.time() - t0

@@ -51,3 +51,18 @@ def test_result_line_format():
     line = format_result_line("cornell", agg)
     assert line.startswith("pathnet Avg for cornell: acc0.9100 ± 0.0100")
     assert "maf1" in line and "mif1" in line
+
+
+def test_microbatch_matches_full_batch(small_graph):
+    """Gradient-accumulation microbatching = full batch (dropout off; the
+    only nondeterminism between the modes is dropout key layout)."""
+    import dataclasses
+    X, y, ps, spec, cfg, (tr, va, te) = _setup(small_graph, epochs=15, scan=True)
+    spec0 = dataclasses.replace(spec, dropout=0.0)
+    r_full = run_round(X, y, ps, spec0, cfg, tr, va, te, num_classes=3, seed=3)
+    cfg_mb = TrainConfig(lr=cfg.lr, weight_decay=cfg.weight_decay, epochs=15,
+                         scan_epochs=True, microbatch=16)
+    r_mb = run_round(X, y, ps, spec0, cfg_mb, tr, va, te, num_classes=3, seed=3)
+    assert abs(r_full.best_val_acc - r_mb.best_val_acc) < 1e-5
+    for k in r_full.metrics:
+        assert abs(r_full.metrics[k] - r_mb.metrics[k]) < 1e-5
