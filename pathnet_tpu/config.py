@@ -21,12 +21,14 @@ class SampleConfig:
     kind: str = "merw"           # -mk marker: "merw" | "uniform" (gen.cpp vs gen_merw.cpp)
     # uniform mode symmetrizes + adds self loops like gen.cpp:83-94
     add_self_loops: bool = True
-    # distance backend: "dense" precomputes an [n, n] int8 table once;
-    # "chunked" recomputes frontier rows on the fly (for large graphs).
-    distance_backend: str = "dense"
+    # distance backend (sample/walk.py PathSampler.build): "auto" picks
+    # "membership" (N1/N2 row tests, the TPU-fast path) for walk_len <= 4,
+    # else "dense" ([n, n] int8 truncated-BFS table); "host" = scipy oracle.
+    distance_backend: str = "auto"
     distance_chunk: int = 1024
-    # sampler backend: "alias" = O(1) Vose rolls; "cdf" = inverse-CDF scan.
-    sampler: str = "alias"
+    # sampler backend: "cdf" = inverse-CDF row gather (measured ~2.7x faster
+    # than alias rolls on v5e — walk.py header); "alias" = O(1) Vose rolls.
+    sampler: str = "cdf"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -69,6 +69,10 @@ def write_edge_input(path: str, n: int, src: np.ndarray, dst: np.ndarray,
 # reference path-text dumps (for golden-parity tests and interop)
 # ---------------------------------------------------------------------------
 
+# '[' → space, ']' → ',' : turns the whole dump into one comma-separated
+# number stream (a line's trailing ']' provides the separator to the next)
+_PATH_TRANS = str.maketrans({"[": " ", "]": ","})
+
 def parse_path_file(path: str, walk_len: int) -> Tuple[np.ndarray, np.ndarray]:
     """Parse a reference sampler dump into ``(nodes, dists)`` int32 arrays.
 
@@ -77,15 +81,31 @@ def parse_path_file(path: str, walk_len: int) -> Tuple[np.ndarray, np.ndarray]:
     PathNet_run.py:310-313).  Line grammar matches the C++ printf
     (gen_merw.cpp:188-206): ``[v0, v1, ..., d0, ..., d_{L-1}]``.
     """
-    nodes, dists = [], []
+    import warnings
+
     with open(path, "r") as f:
-        for line in f:
-            line = line.strip()
-            if not line:
-                continue
-            vals = [int(tok) for tok in line[1:-1].split(",")]
-            nodes.append(vals[:walk_len])
-            dists.append(vals[walk_len:])
+        txt = f.read()
+    # fast path: uniform "[v, ..., d]" lines parse as one comma-separated
+    # stream (reference dumps are ~100 MB; a Python line loop takes minutes)
+    if txt:
+        stream = txt.translate(_PATH_TRANS).rstrip(", \n\t")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", DeprecationWarning)
+            flat = np.fromstring(stream, dtype=np.int64, sep=",")
+    else:
+        flat = np.zeros(0, np.int64)
+    if flat.size % (2 * walk_len) == 0 and flat.size > 0:
+        rec = flat.reshape(-1, 2 * walk_len)
+        return (rec[:, :walk_len].astype(np.int32),
+                rec[:, walk_len:].astype(np.int32))
+    nodes, dists = [], []
+    for line in txt.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        vals = [int(tok) for tok in line[1:-1].split(",")]
+        nodes.append(vals[:walk_len])
+        dists.append(vals[walk_len:])
     return np.asarray(nodes, np.int32), np.asarray(dists, np.int32)
 
 

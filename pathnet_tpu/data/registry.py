@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import zlib
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -40,26 +41,49 @@ class DatasetSpec:
     avg_deg: float = 8.0
     val_size: Optional[int] = None    # fixed-split val size (dataset.json)
     large: bool = False               # gen_epoch tier (per-epoch regeneration)
+    # synthetic stand-in knobs (only used when the real payload is absent):
+    # ``signal`` = post-learning feature separation in noise sigmas,
+    # calibrated per dataset (scripts/calibrate_standins.py) so a
+    # feature-only model lands near the documented MLP row of
+    # performance.jpg; ``structure`` = off-diagonal concentration of the
+    # class-compatibility matrix (how informative neighbors are beyond
+    # homophily).
+    signal: float = 2.0
+    structure: float = 0.75
 
 
+# ``signal`` values produced by scripts/calibrate_standins.py (ridge probe
+# == documented MLP accuracy; see the script header).  Measured stand-in
+# edge homophily (self-loops excluded): cornell 0.300, cora 0.814,
+# citeseer 0.793, Nba 0.541 (the real Nba graph admits a 0.39 cut that the
+# annealed stand-in labeling cannot reach — documented drift), SBM stand-ins
+# exact by construction.
 DATASETS: Dict[str, DatasetSpec] = {
     "cornell": DatasetSpec("cornell", "hetero", "fixed", 5, 1703, 0.30,
-                           edge_file="cornell.in", val_size=59),
+                           edge_file="cornell.in", val_size=59, signal=1.48),
     "cora": DatasetSpec("cora", "homo", "fixed", 7, 1433, 0.81,
-                        edge_file="cora_nsl.in", val_size=1019),
+                        edge_file="cora_nsl.in", val_size=1019, signal=3.70),
     "citeseer": DatasetSpec("citeseer", "homo", "fixed", 6, 3703, 0.74,
-                            edge_file="citeseer.in", val_size=1879),
+                            edge_file="citeseer.in", val_size=1879,
+                            signal=2.91),
     "Nba": DatasetSpec("Nba", "hetero", "random", 2, 96, 0.39,
-                       edge_file="Nba.in"),
+                       edge_file="Nba.in", signal=1.04),
     "pubmed": DatasetSpec("pubmed", "homo", "fixed", 3, 500, 0.80,
-                          n=19717, avg_deg=4.5, val_size=6310, large=True),
+                          n=19717, avg_deg=4.5, val_size=6310, large=True,
+                          signal=2.86),
     "bgp": DatasetSpec("bgp", "hetero", "random", 8, 287, 0.37,
-                       n=63977, avg_deg=10.0, large=True),
+                       n=63977, avg_deg=10.0, large=True, signal=2.55),
     "Electronics": DatasetSpec("Electronics", "hetero", "random", 10, 8669, 0.25,
-                               n=42318, avg_deg=8.0, large=True),
+                               n=42318, avg_deg=8.0, large=True, signal=4.92),
     "Dblp": DatasetSpec("Dblp", "hetero", "random", 4, 334, 0.45,
-                        n=17716, avg_deg=6.0, large=True),
+                        n=17716, avg_deg=6.0, large=True, signal=2.13),
 }
+
+
+def _stable_seed(name: str) -> int:
+    """Process-stable seed for synthetic stand-ins (``hash(str)`` is salted
+    per interpreter, which made stand-ins irreproducible across runs)."""
+    return zlib.crc32(name.encode()) % (2**31)
 
 
 def _find_edge_file(spec: DatasetSpec, data_root: str) -> Optional[str]:
@@ -82,7 +106,8 @@ def load_structure(name: str, data_root: str = "data") -> Graph:
     if spec.n is None:
         raise FileNotFoundError(f"no edge file for {name} and no synthetic size")
     return synthetic_graph(spec.n, spec.avg_deg, spec.num_classes,
-                           spec.homophily, spec.feat_dim, seed=hash(name) % (2**31))
+                           spec.homophily, spec.feat_dim, signal=spec.signal,
+                           structure=spec.structure, seed=_stable_seed(name))
 
 
 def load_dataset(name: str, data_root: str = "data", round_i: int = 0,
@@ -123,11 +148,15 @@ def load_dataset(name: str, data_root: str = "data", round_i: int = 0,
     else:
         if g.features is None or g.labels is None:
             g = attach_synthetic_payload(g, spec.num_classes, spec.feat_dim,
-                                         spec.homophily,
-                                         seed=hash(name) % (2**31))
+                                         spec.homophily, signal=spec.signal,
+                                         structure=spec.structure,
+                                         seed=_stable_seed(name))
 
     if spec.split == "random":
         train, val, test = get_whole_mask(g.labels, seed=round_i + 1)
     else:
-        train, val, test = ratio_masks(g.n, seed=1000 + round_i)
+        # stand-in for the absent H2GCN split files: honor the dataset's
+        # documented val size (dataset.json) with a 48% train fraction
+        train, val, test = ratio_masks(g.n, seed=1000 + round_i,
+                                       val_size=spec.val_size)
     return g, train, val, test, spec

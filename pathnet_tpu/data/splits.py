@@ -72,9 +72,21 @@ def planetoid_masks(n: int, num_train: int, val_size: int, test_size: int,
     return train, val, test
 
 
-def ratio_masks(n: int, seed: int, ratio=(0.48, 0.32, 0.20)):
-    """Convenience: ratio-based split over all nodes with a numpy seed."""
-    num_train = int(ratio[0] * n)
-    val_size = int(ratio[1] * n)
-    test_size = n - num_train - val_size
+def ratio_masks(n: int, seed: int, ratio=(0.48, 0.32, 0.20),
+                val_size=None):
+    """Convenience: ratio-based split over all nodes with a numpy seed.
+
+    ``val_size`` overrides the ratio-derived validation count with the
+    dataset's documented fixed-split size (dataset.json: cornell 59,
+    cora 1019, citeseer 1879, pubmed 6310); test keeps the 20% fraction and
+    train takes the remainder (the exact H2GCN split files are absent from
+    the snapshot, .MISSING_LARGE_BLOBS:13)."""
+    if val_size is None:
+        num_train = int(ratio[0] * n)
+        val_size = int(ratio[1] * n)
+        test_size = n - num_train - val_size
+    else:
+        test_size = int(round(ratio[2] * n))
+        val_size = min(val_size, n - test_size - 1)
+        num_train = n - val_size - test_size
     return planetoid_masks(n, num_train, val_size, test_size, seed)

@@ -18,7 +18,11 @@ def confusion_matrix(y_true: jnp.ndarray, y_pred: jnp.ndarray, num_classes: int,
                      weights: jnp.ndarray | None = None) -> jnp.ndarray:
     """cm[i, j] = (weighted) count of true class i predicted as j."""
     w = weights if weights is not None else jnp.ones_like(y_true, jnp.float32)
-    idx = y_true * num_classes + y_pred
+    # drop out-of-range labels (e.g. the -1 "unlabeled" sentinel) instead of
+    # letting negative scatter indices silently wrap to the end of the matrix
+    valid = (y_true >= 0) & (y_true < num_classes)
+    w = jnp.where(valid, w, 0.0)
+    idx = jnp.clip(y_true, 0, num_classes - 1) * num_classes + y_pred
     flat = jnp.zeros(num_classes * num_classes, jnp.float32).at[idx].add(w)
     return flat.reshape(num_classes, num_classes)
 

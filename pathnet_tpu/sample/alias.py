@@ -134,7 +134,10 @@ class CdfSampler:
         u = jax.random.uniform(key, cur.shape)
         rows = self.cdf[cur]                       # [W, D]
         idx = jnp.sum(rows < u[:, None], axis=1)
-        idx = jnp.minimum(idx, self.max_deg - 1)
+        # clip to the node's real degree, not max_deg: for float row sums
+        # slightly < 1 a draw past the last real slot must resolve to the
+        # last *edge*, never a padding slot (which self-points)
+        idx = jnp.minimum(idx, jnp.maximum(self.deg[cur], 1) - 1)
         return jnp.take_along_axis(self.nbr[cur], idx[:, None], axis=1)[:, 0]
 
     def tree_flatten(self):

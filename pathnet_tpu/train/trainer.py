@@ -77,15 +77,23 @@ def _pad_chunks(idx: np.ndarray, chunk: int):
     return padded.reshape(k, chunk), w.reshape(k, chunk)
 
 
-def _chunked_grads(params, X, paths, dists, idx_chunks, y, w_chunks, spec, key):
+def _shard(t, data_sharding):
+    if data_sharding is None:
+        return t
+    return jax.lax.with_sharding_constraint(t, data_sharding)
+
+
+def _chunked_grads(params, X, paths, dists, idx_chunks, y, w_chunks, spec, key,
+                   data_sharding=None):
     """Full-batch gradients by microbatch accumulation (exact: CE mean over
     all weighted rows; grads sum over chunks inside a lax.scan, so only one
     chunk's activations are ever live)."""
     total = jnp.maximum(w_chunks.sum(), 1.0)
 
     def wsum_loss(p, idx_c, w_c, kd):
-        logits = pagg_forward(p, X, paths[idx_c], dists[idx_c], idx_c, spec,
-                              train=True, key=kd)
+        logits = pagg_forward(p, X, _shard(paths[idx_c], data_sharding),
+                              _shard(dists[idx_c], data_sharding), idx_c,
+                              spec, train=True, key=kd)
         ce = optax.softmax_cross_entropy_with_integer_labels(logits, y[idx_c])
         return jnp.sum(ce * w_c)
 
@@ -104,10 +112,11 @@ def _chunked_grads(params, X, paths, dists, idx_chunks, y, w_chunks, spec, key):
 
 
 def _chunked_cm(params, X, paths, dists, idx_chunks, y, w_chunks, spec,
-                num_classes):
+                num_classes, data_sharding=None):
     def body(cm, inp):
         idx_c, w_c = inp
-        logits = pagg_forward(params, X, paths[idx_c], dists[idx_c], idx_c,
+        logits = pagg_forward(params, X, _shard(paths[idx_c], data_sharding),
+                              _shard(dists[idx_c], data_sharding), idx_c,
                               spec, train=False)
         pred = jnp.argmax(logits, axis=-1)
         return cm + confusion_matrix(y[idx_c], pred, num_classes,
@@ -120,12 +129,13 @@ def _chunked_cm(params, X, paths, dists, idx_chunks, y, w_chunks, spec,
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "num_classes", "epochs", "optimizer",
-                     "track_history", "microbatch"))
+                     "track_history", "microbatch", "data_sharding"))
 def _run_round_scan(params, opt_state, X, y, ps: PathSampler,
                     train_idx, val_idx, test_idx, base_key,
                     spec: PaggSpec, num_classes: int, epochs: int,
                     optimizer, track_history: bool,
-                    microbatch: Optional[int] = None):
+                    microbatch: Optional[int] = None,
+                    data_sharding=None):
     if microbatch is None:
         y_train, y_val, y_test = y[train_idx], y[val_idx], y[test_idx]
     else:
@@ -139,32 +149,40 @@ def _run_round_scan(params, opt_state, X, y, ps: PathSampler,
         params, opt_state, best_val, best_cm, best_params = carry
         kp, kd = jax.random.split(jax.random.fold_in(base_key, epoch))
         paths, dists = ps.sample(kp)
+        if data_sharding is not None:
+            # SPMD: the per-epoch path tensor (and everything derived from
+            # its node axis — gathers, encode, logits) is node-partitioned
+            paths = jax.lax.with_sharding_constraint(paths, data_sharding)
+            dists = jax.lax.with_sharding_constraint(dists, data_sharding)
 
         if microbatch is None:
-            grads = jax.grad(_loss_fn)(params, X, paths[train_idx],
-                                       dists[train_idx], train_idx, y_train,
-                                       spec, kd)
+            grads = jax.grad(_loss_fn)(params,
+                                       X, _shard(paths[train_idx], data_sharding),
+                                       _shard(dists[train_idx], data_sharding),
+                                       train_idx, y_train, spec, kd)
         else:
             grads = _chunked_grads(params, X, paths, dists, tr_c, y, tr_w,
-                                   spec, kd)
+                                   spec, kd, data_sharding)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
 
         if microbatch is None:
-            val_cm = _eval_cm(params, X, paths[val_idx], dists[val_idx],
+            val_cm = _eval_cm(params, X, _shard(paths[val_idx], data_sharding),
+                              _shard(dists[val_idx], data_sharding),
                               val_idx, y_val, spec, num_classes)
         else:
             val_cm = _chunked_cm(params, X, paths, dists, va_c, y, va_w,
-                                 spec, num_classes)
+                                 spec, num_classes, data_sharding)
         val_acc = jnp.diagonal(val_cm).sum() / jnp.maximum(val_cm.sum(), 1.0)
         is_best = val_acc > best_val
 
         def test_eval():
             if microbatch is None:
-                return _eval_cm(params, X, paths[test_idx], dists[test_idx],
+                return _eval_cm(params, X, _shard(paths[test_idx], data_sharding),
+                                _shard(dists[test_idx], data_sharding),
                                 test_idx, y_test, spec, num_classes)
             return _chunked_cm(params, X, paths, dists, te_c, y, te_w, spec,
-                               num_classes)
+                               num_classes, data_sharding)
 
         test_cm = jax.lax.cond(is_best, test_eval, lambda: best_cm)
         best_cm = jnp.where(is_best, test_cm, best_cm)
@@ -184,14 +202,34 @@ def _run_round_scan(params, opt_state, X, y, ps: PathSampler,
 def run_round(X: jnp.ndarray, y: jnp.ndarray, ps: PathSampler, spec: PaggSpec,
               cfg: TrainConfig, train_mask: np.ndarray, val_mask: np.ndarray,
               test_mask: np.ndarray, num_classes: int, seed: int = 0,
-              track_history: bool = False, keep_params: bool = False
-              ) -> RoundResult:
-    """One full round: init → epochs → best-on-val test metrics."""
+              track_history: bool = False, keep_params: bool = False,
+              mesh=None, shard_features: bool = False) -> RoundResult:
+    """One full round: init → epochs → best-on-val test metrics.
+
+    ``mesh`` runs the whole round scan SPMD over the mesh's ``data`` axis:
+    the per-epoch path tensor, the gathered batch, and every forward/backward
+    are node-partitioned; gradients psum automatically (GSPMD inserts the
+    collective behind the mean-loss).  ``shard_features=True`` additionally
+    row-shards X (graph-partitioned mode — the cross-shard feature exchange
+    for path gathers is the boundary all-to-all of SURVEY.md §2.7, inserted
+    by GSPMD).  No reference counterpart (single-GPU, SURVEY §2.7).
+    """
     key = jax.random.PRNGKey(seed)
     kinit, kepochs = jax.random.split(key)
     params = init_pagg_params(kinit, spec)
     optimizer = make_optimizer(cfg.lr, cfg.weight_decay)
     opt_state = optimizer.init(params)
+
+    data_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        data_sharding = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        params = jax.device_put(params, repl)
+        opt_state = jax.device_put(opt_state, repl)
+        X = jax.device_put(X, data_sharding if shard_features else repl)
+        y = jax.device_put(y, repl)
+        ps = jax.tree_util.tree_map(lambda a: jax.device_put(a, repl), ps)
 
     train_idx = jnp.asarray(np.flatnonzero(train_mask), jnp.int32)
     val_idx = jnp.asarray(np.flatnonzero(val_mask), jnp.int32)
@@ -206,7 +244,7 @@ def run_round(X: jnp.ndarray, y: jnp.ndarray, ps: PathSampler, spec: PaggSpec,
         params, best_val, best_cm, best_params, hist = _run_round_scan(
             params, opt_state, X, y, ps, train_idx, val_idx, test_idx,
             kepochs, spec, num_classes, cfg.epochs, optimizer, track_history,
-            cfg.microbatch)
+            cfg.microbatch, data_sharding)
     else:
         if cfg.microbatch is not None:
             raise NotImplementedError(
@@ -272,7 +310,7 @@ def run_protocol(name: str, data_root: str = "data",
                  kind: str = "merw", rnn: str = "lstm", agg: str = "attention",
                  quirk_compat: bool = False, rounds: Optional[int] = None,
                  dropout: float = 0.7, ckpt_dir: Optional[str] = None,
-                 verbose: bool = True,
+                 verbose: bool = True, mesh=None, shard_features: bool = False,
                  ) -> Tuple[Dict[str, Tuple[float, float]], list]:
     """The reference's multi-round CLI driver (PathNet_run.py:406-485).
 
@@ -320,7 +358,8 @@ def run_protocol(name: str, data_root: str = "data",
                             quirk_compat=quirk_compat)
         res = run_round(X, y, ps, spec, cfg, train_mask, val_mask, test_mask,
                         spec_d.num_classes, seed=cfg.seed + round_i,
-                        keep_params=ckpt_dir is not None)
+                        keep_params=ckpt_dir is not None, mesh=mesh,
+                        shard_features=shard_features)
         if ckpt_dir is not None:
             save_round(ckpt_dir, name, round_i, res)
             res.best_params = None

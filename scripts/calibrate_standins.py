@@ -1,0 +1,106 @@
+"""Calibrate synthetic stand-in feature signal per dataset.
+
+The reference snapshot ships no feature/label payloads (.MISSING_LARGE_BLOBS),
+so the registry attaches synthetic stand-ins.  For the protocol results to be
+*meaningful*, a feature-only model must land near the documented MLP row of
+the paper's table (performance.jpg) — then the structure-derived headroom
+that PathNet exploits mirrors the real datasets' MLP→PathNet gap.
+
+This script, per dataset:
+1. builds the stand-in labels exactly as ``registry.load_dataset`` does
+   (same stable seed) and reports the measured edge homophily vs target;
+2. bisects the feature ``signal`` so a validation-tuned ridge probe (a fast
+   proxy for the tuned MLP baseline) hits the documented MLP accuracy;
+3. prints the ``signal=`` values to paste into ``registry.DATASETS``.
+
+Run: python scripts/calibrate_standins.py [names...]
+"""
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from pathnet_tpu.data.registry import DATASETS, _stable_seed, load_structure  # noqa: E402
+from pathnet_tpu.data.splits import get_whole_mask, ratio_masks  # noqa: E402
+from pathnet_tpu.data.synthetic import (compat_labels, edge_homophily,  # noqa: E402
+                                        synthetic_features)
+
+# documented MLP test accuracy (performance.jpg row 2); Dblp is not in the
+# table — target a mid-band value.
+MLP_TARGET = {
+    "cornell": 0.8108, "cora": 0.7475, "citeseer": 0.7241, "pubmed": 0.8665,
+    "Nba": 0.5921, "bgp": 0.6339, "Electronics": 0.7503, "Dblp": 0.70,
+}
+
+
+def ridge_probe(X, y, train, val, test, num_classes) -> float:
+    """Validation-tuned ridge classifier accuracy on the test mask."""
+    Xtr, ytr = X[train], y[train]
+    d = X.shape[1]
+    onehot = np.eye(num_classes, dtype=np.float32)[ytr]
+    G = (Xtr.T @ Xtr).astype(np.float64)
+    B = (Xtr.T @ onehot).astype(np.float64)
+    best, best_val = None, -1.0
+    for lam in (1e-2, 1e-1, 1.0, 10.0, 100.0):
+        W = np.linalg.solve(G + lam * np.eye(d), B)
+        va = float((np.asarray(X[val] @ W).argmax(1) == y[val]).mean())
+        if va > best_val:
+            best, best_val = W, va
+    return float((np.asarray(X[test] @ W if best is None else X[test] @ best)
+                  .argmax(1) == y[test]).mean())
+
+
+def masks_for(spec, y, round_i):
+    if spec.split == "random":
+        return get_whole_mask(y, seed=round_i + 1)
+    return ratio_masks(len(y), seed=1000 + round_i, val_size=spec.val_size)
+
+
+def probe_acc(spec, g, y, signal, rounds=3) -> float:
+    seed = _stable_seed(spec.name)
+    n_train = max(1, int(0.48 * g.n))
+    X = synthetic_features(y, spec.feat_dim, spec.num_classes, signal,
+                           seed + 1, n_train)
+    accs = []
+    for r in range(rounds):
+        tr, va, te = masks_for(spec, y, r)
+        accs.append(ridge_probe(X, y, tr, va, te, spec.num_classes))
+    return float(np.mean(accs))
+
+
+def calibrate(name: str) -> None:
+    spec = DATASETS[name]
+    seed = _stable_seed(name)
+    g = load_structure(name)
+    if g.labels is not None:
+        # SBM stand-in: labels drawn with the structure (exact edge stats);
+        # only the feature signal needs calibration
+        y = g.labels
+    else:
+        y = compat_labels(g, spec.num_classes, spec.homophily, spec.structure,
+                          seed=seed)
+    h = edge_homophily(g.src, g.dst, y)
+    target = MLP_TARGET[name]
+    lo, hi = 0.3, 8.0
+    acc_lo, acc_hi = probe_acc(spec, g, y, lo), probe_acc(spec, g, y, hi)
+    for _ in range(10):
+        mid = 0.5 * (lo + hi)
+        acc = probe_acc(spec, g, y, mid)
+        if acc < target:
+            lo, acc_lo = mid, acc
+        else:
+            hi, acc_hi = mid, acc
+    sig = 0.5 * (lo + hi)
+    acc = probe_acc(spec, g, y, sig, rounds=5)
+    print(f"{name}: homophily target={spec.homophily:.2f} measured={h:.3f} | "
+          f"MLP target={target:.3f} ridge={acc:.3f} @ signal={sig:.2f}")
+    print(f"    -> signal={sig:.2f}")
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(DATASETS)
+    for name in names:
+        calibrate(name)

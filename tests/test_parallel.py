@@ -64,6 +64,41 @@ def test_multi_step_training_progresses(small_graph):
     assert losses[-1] < losses[0]
 
 
+def test_run_round_mesh_matches_single_device(small_graph):
+    """The REAL protocol round (best-on-val scan, run_round) under an
+    8-device mesh == the single-device round (VERDICT round-1 item 3)."""
+    from pathnet_tpu.config import TrainConfig
+    from pathnet_tpu.train.trainer import run_round
+
+    g = small_graph
+    ps = PathSampler.build(g, num_walks=8, walk_len=3)
+    spec = PaggSpec(feat_dim=g.features.shape[1], hidden=16, out_dim=3,
+                    walk_len=3, variant="hetero", dropout=0.0)
+    X = jnp.asarray(g.features)
+    y = jnp.asarray(g.labels)
+    n = g.n
+    train_mask = np.zeros(n, bool); train_mask[:24] = True
+    val_mask = np.zeros(n, bool); val_mask[24:44] = True
+    test_mask = np.zeros(n, bool); test_mask[44:] = True
+    cfg = TrainConfig(epochs=12, lr=1e-2)
+
+    res1 = run_round(X, y, ps, spec, cfg, train_mask, val_mask, test_mask,
+                     num_classes=3, seed=3)
+    res8 = run_round(X, y, ps, spec, cfg, train_mask, val_mask, test_mask,
+                     num_classes=3, seed=3, mesh=make_mesh(n_devices=8))
+    assert abs(res1.best_val_acc - res8.best_val_acc) < 1e-6
+    for k, v in res1.metrics.items():
+        assert abs(v - res8.metrics[k]) < 1e-5, (k, v, res8.metrics[k])
+    # graph-partitioned X + microbatch accumulation under the mesh
+    res8s = run_round(X, y, ps, spec,
+                      TrainConfig(epochs=12, lr=1e-2, microbatch=16),
+                      train_mask, val_mask, test_mask, num_classes=3, seed=3,
+                      mesh=make_mesh(n_devices=4), shard_features=True)
+    assert abs(res1.best_val_acc - res8s.best_val_acc) < 1e-6
+    for k, v in res1.metrics.items():
+        assert abs(v - res8s.metrics[k]) < 1e-5, (k, v, res8s.metrics[k])
+
+
 def test_sharded_features_matches_replicated(small_graph):
     """Graph-partitioned X (boundary exchange via GSPMD) == replicated X."""
     g, ps, spec, params, X, y, train_idx, val_idx = _problem(small_graph)
