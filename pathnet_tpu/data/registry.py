@@ -23,9 +23,11 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 from .graph import Graph
-from .formats import load_npy_dataset, load_planetoid
+from .formats import load_geomgcn, load_npy_dataset, load_planetoid
 from .splits import get_whole_mask, ratio_masks
 from .synthetic import attach_synthetic_payload, synthetic_graph
+
+GEOMGCN_DATASETS = ("chameleon", "squirrel", "film", "texas", "wisconsin")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -77,6 +79,20 @@ DATASETS: Dict[str, DatasetSpec] = {
                                n=42318, avg_deg=8.0, large=True, signal=4.92),
     "Dblp": DatasetSpec("Dblp", "hetero", "random", 4, 334, 0.45,
                         n=17716, avg_deg=6.0, large=True, signal=2.13),
+    # Geom-GCN datasets carried by the reference dataset.json (val sizes
+    # from there; scale/homophily from the Geom-GCN/H2GCN papers).  Loaded
+    # from <root>/geomgcn/<name>/out1_* when present (formats.load_geomgcn),
+    # else SBM stand-ins.
+    "chameleon": DatasetSpec("chameleon", "hetero", "fixed", 5, 2325, 0.23,
+                             n=2277, avg_deg=31.7, val_size=729, signal=1.79),
+    "squirrel": DatasetSpec("squirrel", "hetero", "fixed", 5, 2089, 0.22,
+                            n=5201, avg_deg=83.5, val_size=1664, signal=1.34),
+    "film": DatasetSpec("film", "hetero", "fixed", 5, 931, 0.22,
+                        n=7600, avg_deg=8.8, val_size=3648, signal=1.43),
+    "texas": DatasetSpec("texas", "hetero", "fixed", 5, 1703, 0.11,
+                         n=183, avg_deg=3.4, val_size=59, signal=1.44),
+    "wisconsin": DatasetSpec("wisconsin", "hetero", "fixed", 5, 1703, 0.21,
+                             n=251, avg_deg=4.0, val_size=80, signal=1.73),
 }
 
 
@@ -96,6 +112,13 @@ def _find_edge_file(spec: DatasetSpec, data_root: str) -> Optional[str]:
     return None
 
 
+def _geomgcn_paths(name: str, data_root: str):
+    d = os.path.join(data_root, "geomgcn", name)
+    e = os.path.join(d, "out1_graph_edges.txt")
+    f = os.path.join(d, "out1_node_feature_label.txt")
+    return (e, f) if os.path.exists(e) and os.path.exists(f) else None
+
+
 def load_structure(name: str, data_root: str = "data") -> Graph:
     """Load the edge structure only (real file when present, else SBM)."""
     spec = DATASETS[name]
@@ -103,6 +126,13 @@ def load_structure(name: str, data_root: str = "data") -> Graph:
     if path is not None:
         g = Graph.from_edge_input(path, name=name)
         return g
+    if name in GEOMGCN_DATASETS:
+        gp = _geomgcn_paths(name, data_root)
+        if gp is not None:
+            adj, x, y = load_geomgcn(*gp)
+            g = Graph.from_scipy(adj, name=name)
+            return Graph(n=g.n, src=g.src, dst=g.dst, prob=g.prob,
+                         features=x, labels=y, name=name)
     if spec.n is None:
         raise FileNotFoundError(f"no edge file for {name} and no synthetic size")
     return synthetic_graph(spec.n, spec.avg_deg, spec.num_classes,

@@ -48,8 +48,15 @@ class BaselineSpec:
     n_nodes: int = 0          # LINK (adjacency-row regression)
 
 
-BASELINES = ("mlp", "gcn", "gat", "sage", "gin", "sgc", "fagcn", "h2gcn",
-             "mixhop", "gprgnn", "appnp", "link", "gcnjk")
+BASELINES = ("mlp", "gcn", "gat", "sage", "sage1", "gin", "sgc", "fagcn",
+             "h2gcn", "mixhop", "gprgnn", "appnp", "link", "gcnjk", "gatjk",
+             "cheb", "lp")
+# sage  — PyG SAGEConv (graphsage2.py): lin_l(mean_N(x)) + lin_r(x)
+# sage1 — custom my_SAGEConv (graphsage.py:37-62): mean over N(i)∪{i} of
+#          lin_l(x), plus lin_r(x)
+# gatjk — Mixhop models.py:399-451: GAT stack, max-jumping-knowledge, linear
+# cheb  — GPRGNN GNN_models_h2gcn.py:139-155: two ChebConv(K=2) layers
+# lp    — MultiLP label propagation (Mixhop models.py:206-258), parameterless
 
 
 # ---------------------------------------------------------------------------
@@ -63,11 +70,18 @@ def build_baseline_graphs(g: Graph, name: str) -> Dict[str, EdgeGraph]:
         graphs["sym"] = EdgeGraph.from_graph(g, norm="sym", add_self_loops=True)
     if name == "link":
         graphs["raw"] = EdgeGraph.from_graph(g, norm="none", add_self_loops=False)
-    if name in ("gat", "gin", "fagcn"):
-        graphs["raw"] = EdgeGraph.from_graph(g, norm="none", add_self_loops=(name == "gat"))
+    if name in ("gat", "gin", "fagcn", "gatjk"):
+        graphs["raw"] = EdgeGraph.from_graph(g, norm="none",
+                                             add_self_loops=name in ("gat", "gatjk"))
     if name == "sage":
         graphs["mean"] = EdgeGraph.from_graph(g, norm="rw", add_self_loops=False)
-    if name == "fagcn":
+    if name == "sage1":
+        # my_SAGEConv removes then re-adds self-loops before the mean
+        graphs["mean_sl"] = EdgeGraph.from_graph(g, norm="rw", add_self_loops=True)
+    if name in ("fagcn", "cheb"):
+        graphs["symnl"] = EdgeGraph.from_graph(g, norm="sym", add_self_loops=False)
+    if name == "lp":
+        # gcn_norm with add_self_loops=False (Mixhop models.py:223-224)
         graphs["symnl"] = EdgeGraph.from_graph(g, norm="sym", add_self_loops=False)
     if name == "h2gcn":
         a = g.to_adjacency(binary=True)
@@ -126,7 +140,7 @@ def init_baseline(key: jax.Array, spec: BaselineSpec) -> dict:
                              "a_dst": uniform_bound(ks[5 + 2 * i], (nheads, hdim),
                                                     1.0 / math.sqrt(hdim))})
         p["bns"] = [_bn_params(H * hd) for _ in range(L - 1)]
-    elif nm == "sage":
+    elif nm in ("sage", "sage1"):
         dims = [F] + [H] * (L - 1) + [C]
         p["lin_l"] = [torch_linear_init(ks[2 * i], dims[i], dims[i + 1])
                       for i in range(L)]
@@ -173,6 +187,29 @@ def init_baseline(key: jax.Array, spec: BaselineSpec) -> dict:
         p["lins"] = [torch_linear_init(ks[i], dims[i], H) for i in range(L)]
         p["bns"] = [_bn_params(H) for _ in range(L)]
         p["out"] = torch_linear_init(ks[L], H * L, C)
+    elif nm == "gatjk":
+        # GAT stack, all layers H*heads wide (Mixhop models.py:399-427),
+        # max-JK over per-layer outputs, final linear
+        hd = spec.heads
+        p["lins"], p["att"] = [], []
+        for i in range(L):
+            din = F if i == 0 else H * hd
+            p["lins"].append(torch_linear_init(ks[3 * i], din, H * hd))
+            p["att"].append({"a_src": uniform_bound(ks[3 * i + 1], (hd, H),
+                                                    1.0 / math.sqrt(H)),
+                             "a_dst": uniform_bound(ks[3 * i + 2], (hd, H),
+                                                    1.0 / math.sqrt(H))})
+        p["bns"] = [_bn_params(H * hd) for _ in range(L - 1)]
+        p["out"] = torch_linear_init(ks[3 * L], H * hd, C)
+    elif nm == "cheb":
+        # two ChebConv(K=2) layers (GPRGNN GNN_models_h2gcn.py:139-155):
+        # per layer out = W0·x + W1·(L̃ x), L̃ = -Â_sym for λmax = 2
+        p["c1"] = [torch_linear_init(ks[0], F, H),
+                   torch_linear_init(ks[1], F, H)]
+        p["c2"] = [torch_linear_init(ks[2], H, C),
+                   torch_linear_init(ks[3], H, C)]
+    elif nm == "lp":
+        p = {"dummy": jnp.zeros((1,))}   # parameterless label propagation
     elif nm in ("gprgnn", "appnp"):
         p["l1"] = torch_linear_init(ks[0], F, H)
         p["l2"] = torch_linear_init(ks[1], H, C)
@@ -253,11 +290,13 @@ def baseline_forward(params: dict, spec: BaselineSpec, X: jnp.ndarray,
                 h = h.mean(axis=1) if nheads > 1 else h.reshape(eg.n, hdim)
         return h
 
-    if nm == "sage":
-        eg = graphs["mean"]
+    if nm in ("sage", "sage1"):
+        # sage: PyG SAGEConv lin_l(mean_N(x)) + lin_r(x); sage1: the custom
+        # my_SAGEConv (graphsage.py:49-61) means lin_l(x) over N(i)∪{i}
+        eg = graphs["mean" if nm == "sage" else "mean_sl"]
         L = len(params["lin_l"])
         for i in range(L):
-            agg = spmm(eg, h)                     # mean over neighbors
+            agg = spmm(eg, h)                     # mean over neighbors(+self)
             h = _linear(params["lin_l"][i], agg) + _linear(params["lin_r"][i], h)
             if i < L - 1:
                 h = batch_norm(h, **params["bns"][i])
@@ -337,6 +376,53 @@ def baseline_forward(params: dict, spec: BaselineSpec, X: jnp.ndarray,
             h = _drop(h, spec.dropout, train, nk())
             outs.append(h)
         return _linear(params["out"], jnp.concatenate(outs, axis=-1))
+
+    if nm == "gatjk":
+        eg = graphs["raw"]
+        L = len(params["lins"])
+        xs = []
+        for i in range(L):
+            att = params["att"][i]
+            nheads, hdim = att["a_src"].shape
+            z = _linear(params["lins"][i], h).reshape(-1, nheads, hdim)
+            s_src = jnp.einsum("nhd,hd->nh", z, att["a_src"])
+            s_dst = jnp.einsum("nhd,hd->nh", z, att["a_dst"])
+            scores = jax.nn.leaky_relu(s_src[eg.src] + s_dst[eg.dst], 0.2)
+            alpha = jax.vmap(lambda s: segment_softmax(s, eg.dst, eg.n),
+                             in_axes=1, out_axes=1)(scores)
+            msgs = z[eg.src] * alpha[:, :, None]
+            h = jax.ops.segment_sum(msgs, eg.dst,
+                                    num_segments=eg.n).reshape(eg.n, -1)
+            if i < L - 1:
+                h = batch_norm(h, **params["bns"][i])
+                h = jax.nn.elu(h)
+                xs.append(h)
+                h = _drop(h, spec.dropout, train, nk())
+            else:
+                xs.append(h)
+        # max jumping knowledge (Mixhop models.py:422 jk_type='max')
+        jk = jnp.max(jnp.stack(xs, axis=0), axis=0)
+        return _linear(params["out"], jk)
+
+    if nm == "cheb":
+        # ChebConv K=2, λmax=2 → T0 = x, T1 = L̃x = -Â_sym x
+        eg = graphs["symnl"]
+        h = _linear(params["c1"][0], h) + _linear(params["c1"][1], -spmm(eg, h))
+        h = jax.nn.relu(h)
+        h = _drop(h, spec.dropout, train, nk())
+        return _linear(params["c2"][0], h) + _linear(params["c2"][1], -spmm(eg, h))
+
+    if nm == "lp":
+        # MultiLP (Mixhop models.py:206-258): X must be the one-hot train
+        # labels (zeros elsewhere); parameterless α-propagation
+        eg = graphs["symnl"]
+        y0 = h
+        res = y0
+        for _ in range(50):
+            for _ in range(spec.k_hops):
+                res = spmm(eg, res)
+            res = spec.alpha * res + (1 - spec.alpha) * y0
+        return res + 0.0 * params["dummy"][0]
 
     if nm in ("gprgnn", "appnp"):
         eg = graphs["sym"]

@@ -33,8 +33,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-pr", "--data_root", type=str, default="data")
     p.add_argument("-mode", "--model_mode", type=str, default="pathnet")
     p.add_argument("--model", type=str, default="pathnet",
-                   help="pathnet or a baseline: mlp/gcn/gat/sage/gin/sgc/"
-                        "fagcn/h2gcn/mixhop/gprgnn/appnp")
+                   help="pathnet or a baseline: mlp/gcn/gat/gatjk/sage/sage1/"
+                        "gin/sgc/cheb/fagcn/h2gcn/mixhop/gprgnn/appnp/link/"
+                        "gcnjk/lp")
     p.add_argument("--rnn", type=str, default="lstm",
                    choices=["lstm", "gru", "mlp"])
     p.add_argument("--agg", type=str, default="attention",

@@ -65,6 +65,21 @@ def run_baseline_round(g, spec: BaselineSpec, cfg: TrainConfig,
     key = jax.random.PRNGKey(seed)
     kinit, kepochs = jax.random.split(key)
     params = init_baseline(kinit, spec)
+    if spec.name == "lp":
+        # MultiLP is parameterless: its "features" are the masked one-hot
+        # train labels and a single forward is the whole model
+        X = (jnp.eye(num_classes, dtype=jnp.float32)[y]
+             * jnp.asarray(train_mask, jnp.float32)[:, None])
+        logits = baseline_forward(params, spec, X, graphs, train=False)
+        pred = jnp.argmax(logits, -1)
+        vi = jnp.asarray(np.flatnonzero(val_mask), jnp.int32)
+        ti = jnp.asarray(np.flatnonzero(test_mask), jnp.int32)
+        val_cm = confusion_matrix(y[vi], pred[vi], num_classes)
+        best_val = jnp.diagonal(val_cm).sum() / jnp.maximum(val_cm.sum(), 1.0)
+        best_cm = confusion_matrix(y[ti], pred[ti], num_classes)
+        metrics = {k: float(v) for k, v in
+                   classification_metrics(best_cm).items()}
+        return RoundResult(best_val_acc=float(best_val), metrics=metrics)
     optimizer = make_optimizer(cfg.lr, cfg.weight_decay)
     opt_state = optimizer.init(params)
     best_val, best_cm, hist = _run_scan(

@@ -33,6 +33,9 @@ from pathnet_tpu.data.synthetic import (compat_labels, edge_homophily,  # noqa: 
 MLP_TARGET = {
     "cornell": 0.8108, "cora": 0.7475, "citeseer": 0.7241, "pubmed": 0.8665,
     "Nba": 0.5921, "bgp": 0.6339, "Electronics": 0.7503, "Dblp": 0.70,
+    # Geom-GCN datasets: MLP rows of the H2GCN paper (table 3)
+    "texas": 0.8189, "wisconsin": 0.8529, "film": 0.3653,
+    "squirrel": 0.2968, "chameleon": 0.4636,
 }
 
 

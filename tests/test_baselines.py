@@ -19,11 +19,14 @@ def test_baseline_forward_finite(name, small_graph):
                         out_dim=3, heads=2, n_nodes=g.n)
     params = init_baseline(jax.random.PRNGKey(0), spec)
     graphs = build_baseline_graphs(g, name)
-    out = baseline_forward(params, spec, jnp.asarray(g.features), graphs,
-                           train=False)
+    X = jnp.asarray(g.features)
+    if name == "lp":
+        # MultiLP propagates masked one-hot labels, not features
+        X = jnp.eye(3, dtype=jnp.float32)[jnp.asarray(g.labels)]
+    out = baseline_forward(params, spec, X, graphs, train=False)
     assert out.shape == (g.n, 3)
     assert np.isfinite(np.asarray(out)).all()
-    out_t = baseline_forward(params, spec, jnp.asarray(g.features), graphs,
+    out_t = baseline_forward(params, spec, X, graphs,
                              train=True, key=jax.random.PRNGKey(1))
     assert np.isfinite(np.asarray(out_t)).all()
 
