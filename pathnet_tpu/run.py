@@ -47,6 +47,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-scan", action="store_true",
                    help="python epoch loop instead of the on-device scan")
+    p.add_argument("--microbatch", type=int, default=None,
+                   help="nodes per gradient-accumulation chunk (exact math; "
+                        "bounds activation memory for 40k+-node graphs)")
+    p.add_argument("--mesh", type=int, default=None,
+                   help="run the round scan SPMD over an N-device data mesh")
+    p.add_argument("--shard-features", action="store_true",
+                   help="row-shard X over the mesh (graph-partitioned mode)")
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (e.g. cpu); uses the config "
                         "API because plugins may ignore JAX_PLATFORMS")
@@ -70,7 +77,12 @@ def main(argv=None):
 
     cfg = TrainConfig(lr=args.learning_rate, weight_decay=args.weight_decay,
                       epochs=args.epoch, rounds=args.round, seed=args.seed,
-                      scan_epochs=not args.no_scan)
+                      scan_epochs=not args.no_scan, microbatch=args.microbatch)
+    mesh = None
+    if args.mesh:
+        from .parallel import make_mesh
+
+        mesh = make_mesh(n_devices=args.mesh)
     name = args.data_name
     t0 = time.time()
     print(f"{name}: {vars(args)}")
@@ -81,7 +93,8 @@ def main(argv=None):
             num_walks=args.num_of_walks, walk_len=args.walk_length,
             hidden=args.hidden_size, kind=args.marker, rnn=args.rnn,
             agg=args.agg, quirk_compat=args.quirk_compat,
-            dropout=args.dropout,
+            dropout=args.dropout, mesh=mesh,
+            shard_features=args.shard_features,
             ckpt_dir=args.ckpt_dir if args.resume else None)
         mode = args.model_mode
     else:

@@ -104,6 +104,74 @@ def empirical_tv(nodes: np.ndarray, P_rows, deg, nbrs, max_z=6.0):
     return worst_z, worst_tv, checked
 
 
+def simulate_cpp_alias(nbrs: list, probs: list) -> list:
+    """Exact replica of the reference AliasTable::init (gen_merw.cpp:23-79):
+    FIFO small/large queues, dynamically appended slots, the |res-1|<eps
+    double-slot special case, and leftovers saturated at split=1.  Returns
+    the per-node induced next-hop distribution dict {target: prob}.
+
+    The reference's edge files carry every record twice (cornell.in row
+    sums are exactly 2.0), and Vose on mass-2 input is NOT proportional —
+    this simulation is the ground truth for what the shipped binary
+    actually samples.
+    """
+    from collections import deque
+
+    eps = 1e-8
+    dists = []
+    for a, p in zip(nbrs, probs):
+        n = len(a)
+        q = [float(x) * n for x in p]
+        A, B, S = [], [], []
+        qA, qB = deque(), deque()
+        for i in range(n):
+            (qA if q[i] > 1.0 else qB).append((int(a[i]), q[i]))
+        while qA and qB:
+            idA, probA = qA.popleft()
+            idB, probB = qB.popleft()
+            A.append(idA), B.append(idB), S.append(probB)
+            res = probA - (1.0 - probB)
+            if abs(res - 1.0) < eps:
+                A.append(idA), B.append(idA), S.append(res)
+                continue
+            (qA if res > 1.0 else qB).append((idA, res))
+        for dq in (qA, qB):
+            while dq:
+                idX, _ = dq.popleft()
+                A.append(idX), B.append(idX), S.append(1.0)
+        m = max(len(A), 1)
+        d: dict = {}
+        for idA, idB, s in zip(A, B, S):
+            d[idB] = d.get(idB, 0.0) + s / m          # p <= S picks B
+            d[idA] = d.get(idA, 0.0) + (1.0 - s) / m  # p > S picks A
+        dists.append(d)
+    return dists
+
+
+def empirical_vs_dists(nodes: np.ndarray, dists: list, n: int):
+    """Max z of empirical next-hop counts vs arbitrary per-node dists."""
+    frm = nodes[:, :-1].ravel()
+    to = nodes[:, 1:].ravel()
+    order = np.argsort(frm, kind="stable")
+    frm_s, to_s = frm[order], to[order]
+    starts = np.searchsorted(frm_s, np.arange(n + 1))
+    worst_z = worst_tv = 0.0
+    for u in range(n):
+        lo, hi = starts[u], starts[u + 1]
+        n_u = hi - lo
+        if n_u < 50 or not dists[u]:
+            continue
+        obs = to_s[lo:hi]
+        keys = np.asarray(sorted(dists[u]))
+        pm = np.asarray([dists[u][k] for k in keys])
+        cm = np.asarray([(obs == k).sum() for k in keys], float)
+        sd = np.sqrt(np.maximum(n_u * pm * (1 - pm), 1e-9))
+        worst_z = max(worst_z, float((np.abs(cm - n_u * pm) / sd).max()))
+        worst_tv = max(worst_tv, float(0.5 * np.abs(cm / n_u - pm).sum()
+                                       + 0.5 * abs(1.0 - pm.sum())))
+    return worst_z, worst_tv
+
+
 def check_walk_edges(nodes: np.ndarray, g) -> bool:
     ecode = np.unique(g.src.astype(np.int64) * g.n + g.dst)
     pcode = np.unique(nodes[:, :-1].astype(np.int64) * g.n + nodes[:, 1:])
@@ -170,6 +238,14 @@ def validate_merw(work: str, report: dict, nw=5, wl=4) -> None:
     r["ref_freq_max_z"] = z_ref
     r["ref_freq_worst_tv"] = tv_ref
     r["rows_checked"] = rows
+    # The reference binary is NOT proportional on these files: every record
+    # is duplicated (row sums exactly 2.0) and Vose on mass-2 input skews.
+    # Validate the reference against an exact simulation of its own alias
+    # construction instead — this is the true behavioral characterization.
+    sim = simulate_cpp_alias(nbrs, P_rows)
+    z_sim, tv_sim = empirical_vs_dists(nodes, sim, n)
+    r["ref_vs_simulated_alias_max_z"] = z_sim
+    r["ref_vs_simulated_alias_worst_tv"] = tv_sim
 
     key = jax.random.PRNGKey(0)
     ours_all = []
@@ -251,10 +327,17 @@ def main():
         work = stage(tmp)
         validate_merw(work, report)
         validate_uniform(work, report)
+    # Pass criteria: structure/layout/distances exact everywhere; OUR
+    # samplers statistically match the (normalized) target distribution;
+    # the REFERENCE binary matches either the target or the exact
+    # simulation of its own alias construction (it is knowably skewed on
+    # duplicated-record inputs — see validate_merw).
     ok = all(
         r["layout_ok"] and r.get("membership_dist_mismatches", 0) == 0
         and r["bfs_table_mismatches"] == 0
-        and r["ref_freq_max_z"] < 6.0 and r["our_freq_max_z"] < 6.0
+        and r["our_freq_max_z"] < 6.0
+        and min(r["ref_freq_max_z"],
+                r.get("ref_vs_simulated_alias_max_z", np.inf)) < 6.0
         and r["ref_walks_on_edges"] and r["our_walks_on_edges"]
         for r in report.values())
     report["ok"] = ok
