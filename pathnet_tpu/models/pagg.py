@@ -136,15 +136,23 @@ def _encode(params, seq, rnn):
 
 def pagg_forward(params, X: jnp.ndarray, paths: jnp.ndarray,
                  dists: jnp.ndarray, ego_idx: jnp.ndarray, spec: PaggSpec,
-                 train: bool = False, key: Optional[jax.Array] = None
-                 ) -> jnp.ndarray:
+                 train: bool = False, key: Optional[jax.Array] = None,
+                 gather_fn=None) -> jnp.ndarray:
     """Logits [T, out_dim] for target nodes ``ego_idx`` with walks ``paths``.
 
     X [n, F] all node features (transductive — reference gathers from the
     full feature matrix, PathNet_run.py:179); paths/dists [T, nw, wl].
+
+    ``gather_fn(h, idx) -> h[idx]`` overrides the two cross-node feature
+    gathers (path nodes + ego rows).  The SPMD graph-partitioned mode passes
+    :func:`pathnet_tpu.parallel.ring.make_ring_gather` here so sharded
+    features are exchanged over an explicit ppermute ring instead of a
+    GSPMD all-gather.
     """
     T, nw, wl = paths.shape
     k1, k2 = (jax.random.split(key) if key is not None else (None, None))
+    if gather_fn is None:
+        gather_fn = lambda h, idx: h[idx]
     h = X @ params["fc0"]["w"] + params["fc0"]["b"]
     if spec.variant == "homo":
         h = jax.nn.relu(h)
@@ -153,15 +161,15 @@ def pagg_forward(params, X: jnp.ndarray, paths: jnp.ndarray,
     H = spec.hidden
 
     if spec.variant == "hetero" and spec.quirk_compat:
-        return _hetero_quirk_forward(params, h, h[paths], dists, ego_idx,
-                                     spec, train, k1, k2)
+        return _hetero_quirk_forward(params, h, gather_fn(h, paths), dists,
+                                     ego_idx, spec, train, k1, k2)
 
     def encode_block(params, h, paths, dists, k1):
         """gather → distance transform → RNN.  Rematerialized under grad
         (spec.remat): backward recomputes the [T, nw, wl, H] gather and the
         per-step LSTM gates instead of storing them — the difference between
         fitting and OOMing 64k-node full-batch training in 16G HBM."""
-        nei = h[paths]                               # [T, nw, wl, H]
+        nei = gather_fn(h, paths)                    # [T, nw, wl, H]
         if spec.variant == "hetero":
             seq_in = jnp.flip(nei, axis=2)
             d_in = jnp.flip(dists, axis=2)
@@ -196,7 +204,7 @@ def pagg_forward(params, X: jnp.ndarray, paths: jnp.ndarray,
     else:
         h_agg = jnp.sum(h_n, axis=1)
 
-    out = jnp.concatenate([h[ego_idx], h_agg], axis=-1)
+    out = jnp.concatenate([gather_fn(h, ego_idx), h_agg], axis=-1)
     out = _dropout(out, spec.dropout, train, k2)
     return out @ params["fc2"]["w"] + params["fc2"]["b"]
 

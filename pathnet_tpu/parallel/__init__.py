@@ -1,3 +1,6 @@
-from .mesh import make_mesh, shard_spec, sharded_train_step, replicate
+from .mesh import (make_mesh, shard_spec, sharded_train_step, replicate,
+                   param_shardings)
+from .ring import make_ring_gather, pad_rows
 
-__all__ = ["make_mesh", "shard_spec", "sharded_train_step", "replicate"]
+__all__ = ["make_mesh", "shard_spec", "sharded_train_step", "replicate",
+           "param_shardings", "make_ring_gather", "pad_rows"]

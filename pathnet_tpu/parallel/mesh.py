@@ -56,8 +56,33 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
 
 
+def param_shardings(params, mesh: Mesh) -> dict:
+    """Model-axis (tensor-parallel) PartitionSpecs for a PAGG param tree.
+
+    Hidden-dimension tensors of the encode pipeline (fc0, the wl distance
+    linears, the RNN) are sharded over ``model`` on their last axis when it
+    divides evenly; the small head (attw, fc2) stays replicated.  GSPMD
+    propagates the shardings through the forward/backward and inserts the
+    reduce-scatters/all-gathers — correctness is mesh-shape independent
+    (tested against single-device in tests/test_parallel.py).
+    """
+    m = mesh.shape["model"]
+
+    def rule(path_top, x):
+        if path_top in ("attw", "fc2") or m <= 1:
+            return P()
+        if x.shape[-1] % m == 0:
+            return P(*([None] * (x.ndim - 1) + ["model"]))
+        return P()
+
+    return {k: jax.tree_util.tree_map(lambda x, k=k: rule(k, x), v)
+            for k, v in params.items()}
+
+
 def sharded_train_step(mesh: Mesh, spec: PaggSpec, optimizer,
-                       num_classes: int, shard_features: bool = False):
+                       num_classes: int, shard_features: bool = False,
+                       exchange: str = "gspmd", shard_params: bool = False,
+                       params_example=None):
     """Build a jitted SPMD train+eval step.
 
     Signature of the returned fn:
@@ -72,12 +97,35 @@ def sharded_train_step(mesh: Mesh, spec: PaggSpec, optimizer,
     ``shard_features=True`` is the graph-partitioned mode: X lives sharded
     on the ``data`` axis (memory O(n·F/d) per device) and the cross-shard
     feature exchange for path gathers (a walk may visit any shard's nodes)
-    is inserted by GSPMD — the TPU-native equivalent of the boundary
-    all-to-all described in SURVEY.md §2.7.
+    is the TPU-native boundary all-to-all described in SURVEY.md §2.7.
+    ``exchange`` picks its implementation: ``"gspmd"`` lets XLA insert an
+    all-gather of the [n, H] transformed features (simple, O(n·H) peak);
+    ``"ring"`` streams [n/d, H] blocks around a ppermute ring overlapped
+    with the local gathers (O(n·H/d) peak — see parallel/ring.py).
+
+    ``shard_params=True`` additionally shards hidden-dimension parameters
+    over the ``model`` axis (tensor parallelism; needs ``params_example``
+    to derive the PartitionSpecs).
     """
     data_sharding = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
     x_sharding = data_sharding if shard_features else repl
+    if shard_params:
+        if params_example is None:
+            raise ValueError("shard_params=True needs params_example")
+        pspec = param_shardings(params_example, mesh)
+        p_sharding = jax.tree_util.tree_map(
+            lambda s: NamedSharding(mesh, s), pspec,
+            is_leaf=lambda x: isinstance(x, P))
+    else:
+        p_sharding = repl
+    gather_fn = None
+    if exchange == "ring":
+        from .ring import make_ring_gather
+
+        gather_fn = make_ring_gather(mesh, "data")
+    elif exchange != "gspmd":
+        raise ValueError(f"unknown exchange {exchange!r}")
 
     def step(params, opt_state, X, y, ps: PathSampler, train_idx, val_idx, key):
         kp, kd = jax.random.split(key)
@@ -87,7 +135,8 @@ def sharded_train_step(mesh: Mesh, spec: PaggSpec, optimizer,
 
         def loss_fn(p):
             logits = pagg_forward(p, X, paths[train_idx], dists[train_idx],
-                                  train_idx, spec, train=True, key=kd)
+                                  train_idx, spec, train=True, key=kd,
+                                  gather_fn=gather_fn)
             labels = y[train_idx]
             return optax.softmax_cross_entropy_with_integer_labels(
                 logits, labels).mean()
@@ -97,13 +146,17 @@ def sharded_train_step(mesh: Mesh, spec: PaggSpec, optimizer,
         params = optax.apply_updates(params, updates)
 
         logits = pagg_forward(params, X, paths[val_idx], dists[val_idx],
-                              val_idx, spec, train=False)
+                              val_idx, spec, train=False, gather_fn=gather_fn)
         val_acc = jnp.mean((jnp.argmax(logits, -1) == y[val_idx]).astype(jnp.float32))
         return params, opt_state, loss, val_acc
 
+    # opt_state mirrors params per-leaf but not per-tree (optax wraps it in
+    # ScaleByAdamState etc.) — let it inherit its committed layout instead
+    # of forcing a params-shaped spec on it
+    o_in, o_out = (None, None) if shard_params else (repl, repl)
     return jax.jit(
         step,
-        in_shardings=(repl, repl, x_sharding, repl, repl, data_sharding,
-                      data_sharding, repl),
-        out_shardings=(repl, repl, repl, repl),
+        in_shardings=(p_sharding, o_in, x_sharding, repl, repl,
+                      data_sharding, data_sharding, repl),
+        out_shardings=(p_sharding, o_out, repl, repl),
     )

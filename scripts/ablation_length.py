@@ -11,9 +11,17 @@ sys.path.insert(0, ".")
 
 
 def main():
+    import os
+
     from pathnet_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
+    # the axon TPU plugin can ignore JAX_PLATFORMS; force via the config API
+    if "--cpu" in sys.argv or os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        sys.argv = [a for a in sys.argv if a != "--cpu"]
     from pathnet_tpu.config import TrainConfig
     from pathnet_tpu.train import run_protocol
 
@@ -30,6 +38,20 @@ def main():
     print("\nwalk_len | accuracy")
     for wl, m, s in rows:
         print(f"{wl:8d} | {100 * m:.2f} ± {100 * s:.2f}")
+
+    import json
+    import os
+    import time
+
+    import jax
+
+    os.makedirs("results", exist_ok=True)
+    with open(f"results/ablation_length_{name}.json", "w") as f:
+        json.dump({"dataset": name, "rounds": rounds, "epochs": epochs,
+                   "platform": jax.devices()[0].platform,
+                   "ts": time.time(),
+                   "accuracy_by_len": {wl: [m, s] for wl, m, s in rows}}, f,
+                  indent=2)
 
 
 if __name__ == "__main__":

@@ -54,6 +54,20 @@ def main():
     for model, (m, s) in rows:
         print(f"{model:12s} {100 * m:6.2f} ± {100 * s:.2f}")
 
+    import json
+    import os
+    import time
+
+    import jax
+
+    os.makedirs("results", exist_ok=True)
+    with open(f"results/comparison_{name}.json", "w") as f:
+        json.dump({"dataset": name, "rounds": rounds, "epochs": epochs,
+                   "platform": jax.devices()[0].platform,
+                   "ts": time.time(),
+                   "accuracy": {m: [v[0], v[1]] for m, v in rows}}, f,
+                  indent=2)
+
 
 if __name__ == "__main__":
     main()
