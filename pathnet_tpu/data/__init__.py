@@ -9,6 +9,8 @@ from .formats import (
 from .splits import get_whole_mask, get_order, planetoid_masks, ratio_masks
 from .synthetic import synthetic_features, synthetic_graph, attach_synthetic_payload
 from .registry import DATASETS, load_dataset
+from .validate import (DataValidationError, validate_graph, validate_masks,
+                       validate_path_tensor)
 
 __all__ = [
     "Graph",
@@ -27,4 +29,8 @@ __all__ = [
     "attach_synthetic_payload",
     "DATASETS",
     "load_dataset",
+    "DataValidationError",
+    "validate_graph",
+    "validate_masks",
+    "validate_path_tensor",
 ]

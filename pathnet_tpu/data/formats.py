@@ -99,11 +99,21 @@ def parse_path_file(path: str, walk_len: int) -> Tuple[np.ndarray, np.ndarray]:
         return (rec[:, :walk_len].astype(np.int32),
                 rec[:, walk_len:].astype(np.int32))
     nodes, dists = [], []
-    for line in txt.splitlines():
+    for lineno, line in enumerate(txt.splitlines(), 1):
         line = line.strip()
         if not line:
             continue
-        vals = [int(tok) for tok in line[1:-1].split(",")]
+        try:
+            vals = [int(tok) for tok in line[1:-1].split(",")]
+        except ValueError as e:
+            raise ValueError(
+                f"{path}:{lineno}: malformed path record {line[:60]!r} "
+                f"({e})") from None
+        if len(vals) != 2 * walk_len:
+            raise ValueError(
+                f"{path}:{lineno}: record has {len(vals)} fields, expected "
+                f"{2 * walk_len} (walk_len={walk_len}; grammar "
+                f"gen_merw.cpp:188-206)")
         nodes.append(vals[:walk_len])
         dists.append(vals[walk_len:])
     return np.asarray(nodes, np.int32), np.asarray(dists, np.int32)

@@ -26,6 +26,7 @@ from .graph import Graph
 from .formats import load_geomgcn, load_npy_dataset, load_planetoid
 from .splits import get_whole_mask, ratio_masks
 from .synthetic import attach_synthetic_payload, synthetic_graph
+from .validate import validate_graph, validate_masks
 
 GEOMGCN_DATASETS = ("chameleon", "squirrel", "film", "texas", "wisconsin")
 
@@ -174,6 +175,9 @@ def load_dataset(name: str, data_root: str = "data", round_i: int = 0,
         g = Graph(n=g.n, src=g.src, dst=g.dst, prob=g.prob, features=x,
                   labels=y, name=name)
         if spec.split == "fixed":
+            validate_graph(g)
+            validate_masks(name, g.n, d["train_mask"], d["val_mask"],
+                           d["test_mask"])
             return g, d["train_mask"], d["val_mask"], d["test_mask"], spec
     else:
         if g.features is None or g.labels is None:
@@ -189,4 +193,6 @@ def load_dataset(name: str, data_root: str = "data", round_i: int = 0,
         # documented val size (dataset.json) with a 48% train fraction
         train, val, test = ratio_masks(g.n, seed=1000 + round_i,
                                        val_size=spec.val_size)
+    validate_graph(g)
+    validate_masks(name, g.n, train, val, test)
     return g, train, val, test, spec

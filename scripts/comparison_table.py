@@ -28,14 +28,40 @@ def main():
     from pathnet_tpu.train import run_protocol, run_baseline_round
     from pathnet_tpu.train.results import aggregate_rounds
 
+    import json
+    import os
+    import time
+
+    import jax
+
     spec_d = DATASETS[name]
     cfg = TrainConfig(epochs=epochs, rounds=rounds)
-    rows = []
+    out_path = f"results/comparison_{name}.json"
+    os.makedirs("results", exist_ok=True)
+    # resume: skip models already recorded (a 150-compile CPU process can
+    # die to JIT address-space exhaustion; rerunning continues from here)
+    done = {}
+    if os.path.exists(out_path):
+        done = json.load(open(out_path)).get("accuracy", {})
 
-    agg, _ = run_protocol(name, cfg=cfg, verbose=False)
-    rows.append(("PathNet", agg["accuracy"]))
+    def flush(rows):
+        with open(out_path, "w") as f:
+            json.dump({"dataset": name, "rounds": rounds, "epochs": epochs,
+                       "platform": jax.devices()[0].platform,
+                       "ts": time.time(),
+                       "accuracy": {m: [v[0], v[1]] for m, v in rows}}, f,
+                      indent=2)
+
+    rows = [(m, tuple(v)) for m, v in done.items()]
+
+    if "PathNet" not in done:
+        agg, _ = run_protocol(name, cfg=cfg, verbose=False)
+        rows.append(("PathNet", agg["accuracy"]))
+        flush(rows)
 
     for model in BASELINES:
+        if model in done:
+            continue
         results = []
         for round_i in range(rounds):
             g, tr, va, te, _ = load_dataset(name, "data", round_i)
@@ -47,26 +73,13 @@ def main():
                                               seed=round_i))
         agg = aggregate_rounds(results)
         rows.append((model, agg["accuracy"]))
+        flush(rows)
         print(f"...{model} done", file=sys.stderr)
 
     print(f"\n=== {name}: test accuracy % (mean ± std over {rounds} rounds,"
           f" {epochs} epochs) ===")
     for model, (m, s) in rows:
         print(f"{model:12s} {100 * m:6.2f} ± {100 * s:.2f}")
-
-    import json
-    import os
-    import time
-
-    import jax
-
-    os.makedirs("results", exist_ok=True)
-    with open(f"results/comparison_{name}.json", "w") as f:
-        json.dump({"dataset": name, "rounds": rounds, "epochs": epochs,
-                   "platform": jax.devices()[0].platform,
-                   "ts": time.time(),
-                   "accuracy": {m: [v[0], v[1]] for m, v in rows}}, f,
-                  indent=2)
 
 
 if __name__ == "__main__":
