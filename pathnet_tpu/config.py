@@ -59,6 +59,12 @@ class TrainConfig:
     # Run the whole epoch loop as one on-device lax.scan (fast path) or as a
     # Python loop of jitted steps (debuggable / large-graph path).
     scan_epochs: bool = True
+    # Epochs per device execution: the round scan is issued in chunks of
+    # this size (best-on-val carry threaded through; chunked == monolithic
+    # exactly).  Bounds single-execution wall time — one multi-minute XLA
+    # execution can trip runtime watchdogs on tunneled/preemptible chips —
+    # and gives the host a heartbeat between chunks.  None = one shot.
+    scan_chunk: Optional[int] = 100
     # Gradient-accumulation chunk size (nodes per microbatch). None = one
     # full-batch shot.  Identical math (grads sum, CE stays a mean over the
     # full mask); bounds activation memory for 64k-node graphs where lane

@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-scan", action="store_true",
                    help="python epoch loop instead of the on-device scan")
+    p.add_argument("--scan-chunk", type=int, default=100,
+                   help="epochs per device execution (0 = whole round in "
+                        "one scan); bounds single-execution wall time")
     p.add_argument("--microbatch", type=int, default=None,
                    help="nodes per gradient-accumulation chunk (exact math; "
                         "bounds activation memory for 40k+-node graphs)")
@@ -77,7 +80,8 @@ def main(argv=None):
 
     cfg = TrainConfig(lr=args.learning_rate, weight_decay=args.weight_decay,
                       epochs=args.epoch, rounds=args.round, seed=args.seed,
-                      scan_epochs=not args.no_scan, microbatch=args.microbatch)
+                      scan_epochs=not args.no_scan, microbatch=args.microbatch,
+                      scan_chunk=args.scan_chunk or None)
     mesh = None
     if args.mesh:
         from .parallel import make_mesh

@@ -135,7 +135,16 @@ def _run_round_scan(params, opt_state, X, y, ps: PathSampler,
                     spec: PaggSpec, num_classes: int, epochs: int,
                     optimizer, track_history: bool,
                     microbatch: Optional[int] = None,
-                    data_sharding=None):
+                    data_sharding=None, epoch_start=0,
+                    best_val=None, best_cm=None, best_params=None):
+    """Scan ``epochs`` epochs starting at global epoch ``epoch_start``.
+
+    ``epoch_start`` (traced) offsets the per-epoch fold_in keys, and the
+    ``best_*`` carry can be threaded across calls — together these let
+    run_round split a round into bounded device executions (scan_chunk)
+    without changing the math: chunked == monolithic exactly, because epoch
+    keys depend only on the global epoch id.
+    """
     if microbatch is None:
         y_train, y_val, y_test = y[train_idx], y[val_idx], y[test_idx]
     else:
@@ -192,11 +201,16 @@ def _run_round_scan(params, opt_state, X, y, ps: PathSampler,
         out = val_acc if track_history else jnp.zeros(())
         return (params, opt_state, best_val, best_cm, best_params), out
 
-    init = (params, opt_state, jnp.zeros(()),
-            jnp.zeros((num_classes, num_classes)), params)
+    if best_val is None:
+        best_val = jnp.zeros(())
+    if best_cm is None:
+        best_cm = jnp.zeros((num_classes, num_classes))
+    if best_params is None:
+        best_params = params
+    init = (params, opt_state, best_val, best_cm, best_params)
     (params, opt_state, best_val, best_cm, best_params), hist = jax.lax.scan(
-        epoch_step, init, jnp.arange(epochs))
-    return params, best_val, best_cm, best_params, hist
+        epoch_step, init, epoch_start + jnp.arange(epochs))
+    return params, opt_state, best_val, best_cm, best_params, hist
 
 
 def run_round(X: jnp.ndarray, y: jnp.ndarray, ps: PathSampler, spec: PaggSpec,
@@ -241,10 +255,28 @@ def run_round(X: jnp.ndarray, y: jnp.ndarray, ps: PathSampler, spec: PaggSpec,
             for i in (train_idx, val_idx, test_idx))
 
     if cfg.scan_epochs:
-        params, best_val, best_cm, best_params, hist = _run_round_scan(
-            params, opt_state, X, y, ps, train_idx, val_idx, test_idx,
-            kepochs, spec, num_classes, cfg.epochs, optimizer, track_history,
-            cfg.microbatch, data_sharding)
+        # bounded device executions: chunk the epoch scan so one device call
+        # never runs unboundedly long (multi-minute single executions can
+        # trip runtime watchdogs / preemptions), threading the best-on-val
+        # carry across chunks — chunked == monolithic exactly
+        chunk = min(cfg.scan_chunk or cfg.epochs, cfg.epochs)
+        best_val = jnp.zeros(())
+        best_cm = jnp.zeros((num_classes, num_classes))
+        best_params = params
+        hists = []
+        start = 0
+        while start < cfg.epochs:
+            e = min(chunk, cfg.epochs - start)
+            (params, opt_state, best_val, best_cm, best_params,
+             hist) = _run_round_scan(
+                params, opt_state, X, y, ps, train_idx, val_idx, test_idx,
+                kepochs, spec, num_classes, e, optimizer, track_history,
+                cfg.microbatch, data_sharding, jnp.int32(start),
+                best_val, best_cm, best_params)
+            if track_history:
+                hists.append(np.asarray(hist))
+            start += e
+        hist = np.concatenate(hists) if track_history else hist
     else:
         if cfg.microbatch is not None:
             raise NotImplementedError(
