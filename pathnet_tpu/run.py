@@ -60,11 +60,47 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (e.g. cpu); uses the config "
                         "API because plugins may ignore JAX_PLATFORMS")
+    p.add_argument("-c", "--config", type=str, default=None,
+                   help="Config JSON file (config.Config.to_json); its values "
+                        "become the defaults, explicit CLI flags override")
     return p
 
 
+def _apply_config_defaults(parser: argparse.ArgumentParser, path: str):
+    """Seed parser defaults from a Config JSON (two-phase parse: a flag
+    typed on the command line still wins over the file)."""
+    from .config import Config
+
+    with open(path) as f:
+        c = Config.from_json(f.read())
+    parser.set_defaults(
+        data_name=c.dataset, data_root=c.data_root,
+        learning_rate=c.train.lr, weight_decay=c.train.weight_decay,
+        epoch=c.train.epochs, round=c.train.rounds, seed=c.train.seed,
+        scan_chunk=c.train.scan_chunk or 0, microbatch=c.train.microbatch,
+        hidden_size=c.model.hidden, dropout=c.model.dropout,
+        rnn=c.model.rnn, agg=c.model.agg, quirk_compat=c.model.quirk_compat,
+        num_of_walks=c.sample.num_walks, walk_length=c.sample.walk_len,
+        marker=c.sample.kind,
+        mesh=(c.mesh.data_axis * c.mesh.model_axis
+              if c.mesh.data_axis * c.mesh.model_axis > 1 else None))
+    # -data is required unless the config provides it
+    for a in parser._actions:
+        if a.dest == "data_name":
+            a.required = False
+
+
 def main(argv=None):
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    av = list(sys.argv[1:] if argv is None else argv)
+    for i, tok in enumerate(av):
+        if tok in ("-c", "--config") and i + 1 < len(av):
+            _apply_config_defaults(parser, av[i + 1])
+            break
+        if tok.startswith("--config="):
+            _apply_config_defaults(parser, tok.split("=", 1)[1])
+            break
+    args = parser.parse_args(av)
     from .utils import enable_compilation_cache
 
     enable_compilation_cache()
