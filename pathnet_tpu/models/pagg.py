@@ -70,6 +70,12 @@ class PaggSpec:
     # encode FLOPs for O(B·wl·H) activation memory; required for 64k-node
     # full-batch training in 16G HBM)
     remat: bool = True
+    # compute dtype for the encode pipeline (gather → distance transform →
+    # RNN): "bfloat16" halves HBM traffic on the [B·wl, H] activations (the
+    # hot path is bandwidth-bound, not FLOP-bound).  Params, the attention/
+    # head, and all reductions stay float32; matmuls accumulate in float32
+    # (MXU native bf16-in/f32-acc).  Default float32 = reference numerics.
+    compute_dtype: str = "float32"
 
 
 def init_pagg_params(key: jax.Array, spec: PaggSpec, dtype=jnp.float32
@@ -164,11 +170,22 @@ def pagg_forward(params, X: jnp.ndarray, paths: jnp.ndarray,
         return _hetero_quirk_forward(params, h, gather_fn(h, paths), dists,
                                      ego_idx, spec, train, k1, k2)
 
+    cdt = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else None
+
     def encode_block(params, h, paths, dists, k1):
         """gather → distance transform → RNN.  Rematerialized under grad
         (spec.remat): backward recomputes the [T, nw, wl, H] gather and the
         per-step LSTM gates instead of storing them — the difference between
-        fitting and OOMing 64k-node full-batch training in 16G HBM."""
+        fitting and OOMing 64k-node full-batch training in 16G HBM.
+        With compute_dtype=bfloat16 the whole block runs in bf16 (activations
+        AND the dist/rnn weights), halving its HBM traffic; outputs are cast
+        back to f32 for the attention/head."""
+        if cdt is not None:
+            h = h.astype(cdt)
+            params = dict(params)
+            for k in ("dist", "rnn"):
+                params[k] = jax.tree_util.tree_map(
+                    lambda x: x.astype(cdt), params[k])
         nei = gather_fn(h, paths)                    # [T, nw, wl, H]
         if spec.variant == "hetero":
             seq_in = jnp.flip(nei, axis=2)
@@ -185,6 +202,9 @@ def pagg_forward(params, X: jnp.ndarray, paths: jnp.ndarray,
         seq = sel.reshape(B, wl, H).transpose(1, 0, 2)   # [wl, B, H]
         seq = _dropout(seq, spec.dropout, train, k1)
         h_n = _encode(params, seq, spec.rnn).reshape(T, nw, H)
+        if cdt is not None:
+            h_n = h_n.astype(jnp.float32)
+            ego_per_path = ego_per_path.astype(jnp.float32)
         return h_n, ego_per_path
 
     if spec.remat:

@@ -41,6 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--agg", type=str, default="attention",
                    choices=["attention", "mean", "sum"])
     p.add_argument("--quirk-compat", action="store_true")
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="compute dtype for the encode pipeline (bfloat16 "
+                        "halves the hot path's HBM traffic; params/head/"
+                        "reductions stay f32)")
     p.add_argument("--results-dir", type=str, default="results")
     p.add_argument("--ckpt-dir", type=str, default="saved_models")
     p.add_argument("--resume", action="store_true")
@@ -135,6 +140,7 @@ def main(argv=None):
             agg=args.agg, quirk_compat=args.quirk_compat,
             dropout=args.dropout, mesh=mesh,
             shard_features=args.shard_features,
+            compute_dtype=args.dtype,
             ckpt_dir=args.ckpt_dir if args.resume else None)
         mode = args.model_mode
     else:

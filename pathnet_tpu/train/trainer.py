@@ -343,6 +343,7 @@ def run_protocol(name: str, data_root: str = "data",
                  quirk_compat: bool = False, rounds: Optional[int] = None,
                  dropout: float = 0.7, ckpt_dir: Optional[str] = None,
                  verbose: bool = True, mesh=None, shard_features: bool = False,
+                 compute_dtype: str = "float32",
                  ) -> Tuple[Dict[str, Tuple[float, float]], list]:
     """The reference's multi-round CLI driver (PathNet_run.py:406-485).
 
@@ -387,7 +388,8 @@ def run_protocol(name: str, data_root: str = "data",
             spec = PaggSpec(feat_dim=g.features.shape[1], hidden=hidden,
                             out_dim=spec_d.num_classes, walk_len=walk_len,
                             variant=variant, rnn=rnn, agg=agg, dropout=dropout,
-                            quirk_compat=quirk_compat)
+                            quirk_compat=quirk_compat,
+                            compute_dtype=compute_dtype)
         res = run_round(X, y, ps, spec, cfg, train_mask, val_mask, test_mask,
                         spec_d.num_classes, seed=cfg.seed + round_i,
                         keep_params=ckpt_dir is not None, mesh=mesh,
