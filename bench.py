@@ -124,6 +124,8 @@ def bench_training(g, nw, wl):
     from pathnet_tpu.train.trainer import (_pad_chunks, _run_round_scan,
                                            make_optimizer)
 
+    import dataclasses
+
     hidden, epochs_tr = 64, 3
     spec = PaggSpec(feat_dim=g.features.shape[1], hidden=hidden,
                     out_dim=int(g.labels.max()) + 1, walk_len=wl,
@@ -141,35 +143,38 @@ def bench_training(g, nw, wl):
     optimizer = make_optimizer(cfg.lr, cfg.weight_decay)
     opt_state = optimizer.init(params)
     args = (params, opt_state, X, y, ps, *chunks, jax.random.PRNGKey(1))
-    kw = dict(spec=spec, num_classes=num_classes, epochs=epochs_tr,
-              optimizer=optimizer, track_history=False,
-              microbatch=cfg.microbatch)
 
-    t0 = time.time()
-    lowered = _run_round_scan.lower(*args, **kw)
-    compiled = lowered.compile()
-    compile_s = time.time() - t0
-    cache_hit = compile_s < 30.0  # persistent-cache hits skip XLA entirely
-    ca = compiled.cost_analysis()
-    flops_total = float((ca or {}).get("flops", 0.0))
-
-    out = compiled(*args)
-    jax.block_until_ready(out)
-    times = []
-    for rep in range(2):
+    def measure(sp):
+        kw = dict(spec=sp, num_classes=num_classes, epochs=epochs_tr,
+                  optimizer=optimizer, track_history=False,
+                  microbatch=cfg.microbatch)
         t0 = time.time()
+        compiled = _run_round_scan.lower(*args, **kw).compile()
+        compile_s = time.time() - t0
+        ca = compiled.cost_analysis()
+        flops_total = float((ca or {}).get("flops", 0.0))
         jax.block_until_ready(compiled(*args))
-        times.append(time.time() - t0)
-    dt = min(times)
-    ms_epoch = dt / epochs_tr * 1000
-    achieved = flops_total / dt if dt > 0 else 0.0
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            jax.block_until_ready(compiled(*args))
+            times.append(time.time() - t0)
+        dt = min(times)
+        return dt / epochs_tr * 1000, flops_total / dt if dt else 0.0, compile_s
+
+    ms_epoch, achieved, compile_s = measure(spec)
+    cache_hit = compile_s < 30.0  # persistent-cache hits skip XLA entirely
+    ms_bf16, _, _ = measure(dataclasses.replace(spec,
+                                                compute_dtype="bfloat16"))
     # v5e peak: 197 TFLOP/s bf16; f32 matmul ≈ 1/4 of bf16 peak
     mfu = achieved / 49.2e12
     print(f"# train: compile {compile_s:.1f}s (cache_hit={cache_hit}), "
-          f"{ms_epoch:.0f} ms/epoch, {achieved / 1e12:.2f} TFLOP/s "
-          f"(mfu_f32 {mfu:.3f})", file=sys.stderr)
+          f"{ms_epoch:.0f} ms/epoch f32 / {ms_bf16:.0f} ms bf16, "
+          f"{achieved / 1e12:.2f} TFLOP/s (mfu_f32 {mfu:.3f})",
+          file=sys.stderr)
     return {
         "train_ms_per_epoch": round(ms_epoch, 1),
+        "train_ms_per_epoch_bf16": round(ms_bf16, 1),
         "train_epochs_per_s": round(1000.0 / ms_epoch, 2) if ms_epoch else 0,
         "train_achieved_tflops": round(achieved / 1e12, 2),
         "train_mfu_f32": round(mfu, 3),
