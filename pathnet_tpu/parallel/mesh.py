@@ -101,7 +101,11 @@ def sharded_train_step(mesh: Mesh, spec: PaggSpec, optimizer,
     ``exchange`` picks its implementation: ``"gspmd"`` lets XLA insert an
     all-gather of the [n, H] transformed features (simple, O(n·H) peak);
     ``"ring"`` streams [n/d, H] blocks around a ppermute ring overlapped
-    with the local gathers (O(n·H/d) peak — see parallel/ring.py).
+    with the local gathers (O(n·H/d) peak — see parallel/ring.py);
+    ``"sparse"`` is the ownership-keyed exchange — all-gather of the request
+    ids + psum_scatter of the owned-row contributions, comms O(m·H) in the
+    gathered row count instead of O(n·H) (see parallel/sparse.py for the
+    regime table; wins for microbatches/serving, loses at full batch).
 
     ``shard_params=True`` additionally shards hidden-dimension parameters
     over the ``model`` axis (tensor parallelism; needs ``params_example``
@@ -124,6 +128,10 @@ def sharded_train_step(mesh: Mesh, spec: PaggSpec, optimizer,
         from .ring import make_ring_gather
 
         gather_fn = make_ring_gather(mesh, "data")
+    elif exchange == "sparse":
+        from .sparse import make_sparse_gather_sharded
+
+        gather_fn = make_sparse_gather_sharded(mesh, "data")
     elif exchange != "gspmd":
         raise ValueError(f"unknown exchange {exchange!r}")
 

@@ -6,7 +6,7 @@ from .trainer import (
     run_protocol,
 )
 from .results import format_result_line, aggregate_rounds
-from .inference import predict, evaluate
+from .inference import predict, evaluate, make_sharded_predict
 from .baseline_trainer import run_baseline_round
 
 __all__ = [
@@ -19,5 +19,6 @@ __all__ = [
     "aggregate_rounds",
     "predict",
     "evaluate",
+    "make_sharded_predict",
     "run_baseline_round",
 ]

@@ -189,3 +189,60 @@ def test_model_axis_sharded_params_match(small_graph):
         sh.spec == jax.sharding.PartitionSpec(None, "model")
     for a, b in zip(jax.tree_util.tree_leaves(pr), jax.tree_util.tree_leaves(pm)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_sparse_gather_matches_take():
+    """Ownership-keyed sparse exchange == plain gather, values and grads,
+    both the replicated-requests and sharded-requests variants."""
+    from pathnet_tpu.parallel.sparse import (make_sparse_gather,
+                                             make_sparse_gather_sharded)
+
+    mesh = make_mesh(n_devices=8)
+    key = jax.random.PRNGKey(0)
+    h = jax.random.normal(key, (61, 16))          # n NOT divisible by 8
+    idx = jax.random.randint(jax.random.PRNGKey(1), (10, 5, 3), 0, 61)
+    w = jax.random.normal(jax.random.PRNGKey(2), (16,))
+
+    for gather in (make_sparse_gather(mesh, "data"),
+                   make_sparse_gather_sharded(mesh, "data")):
+        np.testing.assert_allclose(np.asarray(gather(h, idx)),
+                                   np.asarray(h[idx]), atol=1e-6)
+        g_sp = jax.grad(lambda h: jnp.sum(gather(h, idx) * w))(h)
+        g_tk = jax.grad(lambda h: jnp.sum(h[idx] * w))(h)
+        np.testing.assert_allclose(np.asarray(g_sp), np.asarray(g_tk),
+                                   atol=1e-5)
+
+
+def test_sparse_exchange_step_matches_gspmd(small_graph):
+    """shard_features + sparse (ownership-keyed) exchange == replicated-X."""
+    g, ps, spec, params, X, y, train_idx, val_idx = _problem(small_graph)
+    optimizer = make_optimizer(5e-3, 5e-4)
+    opt_state = optimizer.init(params)
+    key = jax.random.PRNGKey(7)
+    mesh = make_mesh(n_devices=4)
+    Xp = jnp.pad(X, ((0, 4), (0, 0)))
+    yp = jnp.pad(y, (0, 4))
+    step_r = sharded_train_step(mesh, spec, optimizer, 3, shard_features=False)
+    step_s = sharded_train_step(mesh, spec, optimizer, 3, shard_features=True,
+                                exchange="sparse")
+    pr, _, loss_r, acc_r = step_r(params, opt_state, Xp, yp, ps, train_idx,
+                                  val_idx, key)
+    psp, _, loss_s, acc_s = step_s(params, opt_state, Xp, yp, ps, train_idx,
+                                   val_idx, key)
+    assert np.allclose(float(loss_r), float(loss_s), atol=1e-5)
+    assert np.allclose(float(acc_r), float(acc_s), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(pr), jax.tree_util.tree_leaves(psp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_exchange_comm_model():
+    """The analytic comms model orders the modes correctly by regime."""
+    from pathnet_tpu.parallel.sparse import exchange_comm_words
+
+    full_batch = exchange_comm_words(n=64000, h=64, m=64000 * 160 // 8, d=8)
+    assert full_batch["ring"] < full_batch["sparse_sharded"]
+    # serving 256 nodes x 40 paths x 4 hops over 8 shards: 5120 rows/shard
+    serving = exchange_comm_words(n=64000, h=64, m=256 * 160 // 8, d=8)
+    assert serving["sparse_sharded"] < serving["ring"]
+    assert exchange_comm_words(10, 4, 3, 1) == {
+        "gspmd": 0, "ring": 0, "sparse": 0, "sparse_sharded": 0}

@@ -77,3 +77,28 @@ def test_geomgcn_loader(tmp_path):
     assert adj[0, 1] == 1 and adj[1, 0] == 1
     np.testing.assert_allclose(x[1], [0.5, 0.5])
     np.testing.assert_array_equal(y, [0, 1, 1])
+
+
+def test_sharded_predict_matches_plain(small_graph):
+    """Serving with graph-partitioned X + sparse exchange == plain predict
+    (same key -> same walks -> identical log-probs)."""
+    import jax.numpy as jnp
+    from pathnet_tpu.models import PaggSpec, init_pagg_params
+    from pathnet_tpu.parallel import make_mesh
+    from pathnet_tpu.sample import PathSampler
+    from pathnet_tpu.train import make_sharded_predict, predict
+
+    g = small_graph
+    ps = PathSampler.build(g, num_walks=6, walk_len=3)
+    spec = PaggSpec(feat_dim=g.features.shape[1], hidden=16, out_dim=3,
+                    walk_len=3, variant="hetero", dropout=0.0)
+    params = init_pagg_params(jax.random.PRNGKey(0), spec)
+    X = jnp.asarray(g.features)
+    idx = jnp.asarray([3, 1, 4, 1, 5, 9, 2, 6], jnp.int32)
+    key = jax.random.PRNGKey(7)
+
+    plain = predict(params, X, ps, spec, key, idx)
+    fn = make_sharded_predict(make_mesh(n_devices=4), spec)
+    sharded = fn(params, X, ps, key, idx)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(plain),
+                               atol=1e-5)
