@@ -84,12 +84,55 @@ def segment_softmax(scores: jnp.ndarray, seg: jnp.ndarray, n: int
 
 def batch_norm(h: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
                eps: float = 1e-5) -> jnp.ndarray:
-    """Full-batch batch norm over the node axis.
-
-    Transductive training is full-batch, so batch statistics are
-    deterministic per step; we use them in both train and eval (deviation
-    from torch BN running stats, documented — affects baselines only).
-    """
+    """Batch-stats batch norm over the node axis (torch BN train mode)."""
     mu = h.mean(axis=0, keepdims=True)
     var = h.var(axis=0, keepdims=True)
     return (h - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+class BatchNormCtx:
+    """Functional running-stats BatchNorm1d with torch semantics.
+
+    torch ``BatchNorm1d`` normalizes with *batch* statistics in train mode
+    (updating running mean/var with momentum 0.1, unbiased var) and with the
+    *running* statistics in eval mode.  The zoo's forwards are pure
+    functions, so the running state is threaded explicitly: the trainer
+    passes the current state list, each ``__call__`` consumes one entry in
+    layer order, and ``self.new`` holds the updated state to carry.
+
+    ``states=None`` (or an entry of None) falls back to batch statistics in
+    both modes — the pre-state behavior, used by golden tests and one-shot
+    forwards.
+    """
+
+    def __init__(self, states, train: bool, momentum: float = 0.1):
+        self.states = states
+        self.train = train
+        self.momentum = momentum
+        self.i = 0
+        self.new = []
+
+    def __call__(self, h, scale, bias, eps: float = 1e-5):
+        st = None if self.states is None else self.states[self.i]
+        self.i += 1
+        if st is None:
+            self.new.append(None)
+            return batch_norm(h, scale, bias, eps)
+        # statistics and normalization in f32 even under a bf16 compute
+        # dtype (bf16 variance is numerically unusable); output follows h
+        h32 = h.astype(jnp.float32)
+        scale32 = scale.astype(jnp.float32)
+        bias32 = bias.astype(jnp.float32)
+        if self.train:
+            mu = h32.mean(axis=0)
+            var = h32.var(axis=0)
+            nrows = h.shape[0]
+            unbiased = var * (nrows / max(nrows - 1, 1))
+            m = self.momentum
+            self.new.append({"mean": (1 - m) * st["mean"] + m * mu,
+                             "var": (1 - m) * st["var"] + m * unbiased})
+        else:
+            self.new.append(st)
+            mu, var = st["mean"], st["var"]
+        out = (h32 - mu) * jax.lax.rsqrt(var + eps) * scale32 + bias32
+        return out.astype(h.dtype)

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from ...data.graph import Graph
 from ...nn.init import torch_linear_init, uniform_bound
-from .ops import EdgeGraph, batch_norm, segment_softmax, spmm
+from .ops import BatchNormCtx, EdgeGraph, segment_softmax, spmm
 
 
 @dataclasses.dataclass(frozen=True)
@@ -46,6 +46,10 @@ class BaselineSpec:
     alpha: float = 0.1        # APPNP / GPR teleport
     eps: float = 0.3          # FAGCN residual
     n_nodes: int = 0          # LINK (adjacency-row regression)
+    # compute dtype for the forward (weights + activations except BN, which
+    # keeps f32 statistics); "bfloat16" halves HBM traffic on the spmm-bound
+    # hot path.  float32 = reference numerics.
+    compute_dtype: str = "float32"
 
 
 BASELINES = ("mlp", "gcn", "gat", "sage", "sage1", "gin", "sgc", "fagcn",
@@ -239,9 +243,46 @@ def _linear(p, x):
     return x @ p["w"] + p["b"]
 
 
+def init_bn_state(params: dict) -> list:
+    """Running-stats state for every BN layer of a baseline (torch init:
+    mean 0, var 1), in the order the forward consumes them."""
+    return [{"mean": jnp.zeros_like(b["scale"]),
+             "var": jnp.ones_like(b["scale"])}
+            for b in params.get("bns", [])]
+
+
 def baseline_forward(params: dict, spec: BaselineSpec, X: jnp.ndarray,
                      graphs: Dict[str, EdgeGraph], train: bool = False,
                      key: Optional[jax.Array] = None) -> jnp.ndarray:
+    """Stateless forward: BN uses batch statistics in both modes (golden
+    tests / one-shot probes).  Training uses the stateful variant below."""
+    logits, _ = baseline_forward_stateful(params, spec, X, graphs, None,
+                                          train=train, key=key)
+    return logits
+
+
+def baseline_forward_stateful(params: dict, spec: BaselineSpec,
+                              X: jnp.ndarray, graphs: Dict[str, EdgeGraph],
+                              bn_state: Optional[list], train: bool = False,
+                              key: Optional[jax.Array] = None):
+    """Forward with torch BN semantics: returns ``(logits, new_bn_state)``.
+
+    Train mode normalizes with batch stats and advances the running stats;
+    eval mode normalizes with the running stats (torch ``BatchNorm1d``) —
+    closing the documented deviation where eval used batch statistics.
+    """
+    bn = BatchNormCtx(bn_state, train)
+    cdt = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else None
+    if cdt is not None:
+        X = X.astype(cdt)
+        params = jax.tree_util.tree_map(lambda a: a.astype(cdt), params)
+    logits = _forward(params, spec, X, graphs, train, key, bn)
+    return logits.astype(jnp.float32), bn.new
+
+
+def _forward(params: dict, spec: BaselineSpec, X: jnp.ndarray,
+             graphs: Dict[str, EdgeGraph], train: bool,
+             key: Optional[jax.Array], bn) -> jnp.ndarray:
     nm = spec.name
     keys = iter(jax.random.split(key, 16)) if key is not None else None
 
@@ -252,7 +293,7 @@ def baseline_forward(params: dict, spec: BaselineSpec, X: jnp.ndarray,
     if nm == "mlp":
         for i, lin in enumerate(params["lins"][:-1]):
             h = _linear(lin, h)
-            h = batch_norm(h, **params["bns"][i])
+            h = bn(h, **params["bns"][i])
             h = jax.nn.relu(h)
             h = _drop(h, spec.dropout, train, nk())
         return _linear(params["lins"][-1], h)
@@ -261,7 +302,7 @@ def baseline_forward(params: dict, spec: BaselineSpec, X: jnp.ndarray,
         eg = graphs["sym"]
         for i, lin in enumerate(params["lins"][:-1]):
             h = spmm(eg, _linear(lin, h))
-            h = batch_norm(h, **params["bns"][i])
+            h = bn(h, **params["bns"][i])
             h = jax.nn.relu(h)
             h = _drop(h, spec.dropout, train, nk())
         return spmm(eg, _linear(params["lins"][-1], h))
@@ -283,7 +324,7 @@ def baseline_forward(params: dict, spec: BaselineSpec, X: jnp.ndarray,
             h = jax.ops.segment_sum(msgs, eg.dst, num_segments=eg.n)
             if i < L - 1:
                 h = h.reshape(eg.n, nheads * hdim)
-                h = batch_norm(h, **params["bns"][i])
+                h = bn(h, **params["bns"][i])
                 h = jax.nn.elu(h)
                 h = _drop(h, spec.dropout, train, nk())
             else:
@@ -299,7 +340,7 @@ def baseline_forward(params: dict, spec: BaselineSpec, X: jnp.ndarray,
             agg = spmm(eg, h)                     # mean over neighbors(+self)
             h = _linear(params["lin_l"][i], agg) + _linear(params["lin_r"][i], h)
             if i < L - 1:
-                h = batch_norm(h, **params["bns"][i])
+                h = bn(h, **params["bns"][i])
                 h = jax.nn.relu(h)
                 h = _drop(h, spec.dropout, train, nk())
         return h
@@ -310,7 +351,7 @@ def baseline_forward(params: dict, spec: BaselineSpec, X: jnp.ndarray,
             agg = spmm(eg, h) + (1.0 + params["eps"][i]) * h
             h = jax.nn.relu(_linear(mlp["l1"], agg))
             h = _linear(mlp["l2"], h)
-            h = batch_norm(h, **params["bns"][i])
+            h = bn(h, **params["bns"][i])
             h = jax.nn.relu(h)
         h = _drop(h, spec.dropout, train, nk())
         return _linear(params["out"], h)
@@ -357,7 +398,7 @@ def baseline_forward(params: dict, spec: BaselineSpec, X: jnp.ndarray,
                 if j < len(hop_lins) - 1:
                     z = spmm(eg, z)
             h = jnp.concatenate(outs, axis=-1)
-            h = batch_norm(h, **params["bns"][i])
+            h = bn(h, **params["bns"][i])
             h = jax.nn.relu(h)
             h = _drop(h, spec.dropout, train, nk())
         return _linear(params["out"], h)
@@ -371,7 +412,7 @@ def baseline_forward(params: dict, spec: BaselineSpec, X: jnp.ndarray,
         outs = []
         for i, lin in enumerate(params["lins"]):
             h = spmm(eg, _linear(lin, h))
-            h = batch_norm(h, **params["bns"][i])
+            h = bn(h, **params["bns"][i])
             h = jax.nn.relu(h)
             h = _drop(h, spec.dropout, train, nk())
             outs.append(h)
@@ -394,7 +435,7 @@ def baseline_forward(params: dict, spec: BaselineSpec, X: jnp.ndarray,
             h = jax.ops.segment_sum(msgs, eg.dst,
                                     num_segments=eg.n).reshape(eg.n, -1)
             if i < L - 1:
-                h = batch_norm(h, **params["bns"][i])
+                h = bn(h, **params["bns"][i])
                 h = jax.nn.elu(h)
                 xs.append(h)
                 h = _drop(h, spec.dropout, train, nk())
@@ -417,11 +458,15 @@ def baseline_forward(params: dict, spec: BaselineSpec, X: jnp.ndarray,
         # labels (zeros elsewhere); parameterless α-propagation
         eg = graphs["symnl"]
         y0 = h
-        res = y0
-        for _ in range(50):
-            for _ in range(spec.k_hops):
+
+        def lp_iter(_, res):
+            for _ in range(spec.k_hops):          # k_hops is tiny and static
                 res = spmm(eg, res)
-            res = spec.alpha * res + (1 - spec.alpha) * y0
+            return spec.alpha * res + (1 - spec.alpha) * y0
+
+        # 50 α-iterations as a fori_loop — the Python unroll compiled 100
+        # spmm ops into the graph (compile-size wall at scale)
+        res = jax.lax.fori_loop(0, 50, lp_iter, y0)
         return res + 0.0 * params["dummy"][0]
 
     if nm in ("gprgnn", "appnp"):

@@ -32,6 +32,17 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["merw", "uniform"])
     p.add_argument("-pr", "--data_root", type=str, default="data")
     p.add_argument("-mode", "--model_mode", type=str, default="pathnet")
+    # reference-command parity (PathNet_run.py:57-63): -nd marks an
+    # npy-triple dataset, -ndr points at the directory holding other_data/.
+    # Our registry infers both, so -nd is accepted as a no-op and -ndr
+    # rebinds the payload root.
+    p.add_argument("-nd", "--is_new_data", action="store_true",
+                   help="reference-parity flag; payload source is inferred "
+                        "from the registry, so this is informational")
+    p.add_argument("-ndr", "--new_data_root", type=str, default=None,
+                   help="directory containing other_data/<name>/{x,y,"
+                        "edge_index}.npy (reference -ndr); overrides "
+                        "--data_root for payload lookup")
     p.add_argument("--model", type=str, default="pathnet",
                    help="pathnet or a baseline: mlp/gcn/gat/gatjk/sage/sage1/"
                         "gin/sgc/cheb/fagcn/h2gcn/mixhop/gprgnn/appnp/link/"
@@ -129,6 +140,8 @@ def main(argv=None):
 
         mesh = make_mesh(n_devices=args.mesh)
     name = args.data_name
+    if args.new_data_root:
+        args.data_root = args.new_data_root
     t0 = time.time()
     print(f"{name}: {vars(args)}")
 
@@ -144,23 +157,39 @@ def main(argv=None):
             ckpt_dir=args.ckpt_dir if args.resume else None)
         mode = args.model_mode
     else:
-        from .config import TrainConfig as TC
         from .data.registry import DATASETS, load_dataset
         from .models.baselines.zoo import BaselineSpec
         from .train.baseline_trainer import run_baseline_round
+        from .train.checkpoint import load_round
         from .train.results import aggregate_rounds
+        from .train.trainer import RoundResult
 
         spec_d = DATASETS[name]
+        ckpt_name = f"{name}.{args.model}"
         results = []
         for round_i in range(cfg.rounds):
+            if args.resume:
+                prev = load_round(args.ckpt_dir, ckpt_name, round_i)
+                if prev is not None:
+                    results.append(RoundResult(
+                        best_val_acc=prev["meta"]["best_val_acc"],
+                        metrics=prev["meta"]["metrics"]))
+                    print(f"round {round_i}: resumed "
+                          f"(acc={prev['meta']['metrics']['accuracy']:.4f})")
+                    continue
             g, tr, va, te, _ = load_dataset(name, args.data_root, round_i)
             spec = BaselineSpec(name=args.model, feat_dim=g.features.shape[1],
                                 hidden=args.hidden_size,
                                 out_dim=spec_d.num_classes,
-                                dropout=args.dropout)
-            results.append(run_baseline_round(g, spec, cfg, tr, va, te,
-                                              spec_d.num_classes,
-                                              seed=cfg.seed + round_i))
+                                dropout=args.dropout,
+                                n_nodes=g.n,
+                                compute_dtype=args.dtype)
+            res = run_baseline_round(g, spec, cfg, tr, va, te,
+                                     spec_d.num_classes,
+                                     seed=cfg.seed + round_i, mesh=mesh)
+            if args.resume:
+                save_round(args.ckpt_dir, ckpt_name, round_i, res)
+            results.append(res)
             print(f"round {round_i}: acc={results[-1].metrics['accuracy']:.4f}")
         agg = aggregate_rounds(results)
         mode = args.model
