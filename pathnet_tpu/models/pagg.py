@@ -76,6 +76,24 @@ class PaggSpec:
     # head, and all reductions stay float32; matmuls accumulate in float32
     # (MXU native bf16-in/f32-acc).  Default float32 = reference numerics.
     compute_dtype: str = "float32"
+    # which table the per-path gather reads:
+    #   "h"    — project X once, gather h rows (the reference's order,
+    #            PathNet_run.py:176-179); the gather VJP is a scatter-add of
+    #            ~B·wl H-rows into [n, H] — measured latency wall on TPU
+    #            (results/grad_probe.json);
+    #   "x"    — gather raw X rows, project after: nei = X[paths] @ W0.
+    #            Identical math (matmul-gather commute row-wise), but X is
+    #            constant so the VJP is dW0 = X[paths]^T @ dnei — NO scatter.
+    #   "auto" — "x" unless the feature row is much wider than the hidden
+    #            row (then the X-row gather bytes outweigh the scatter).
+    gather_mode: str = "auto"
+
+    def resolved_gather_mode(self) -> str:
+        if self.gather_mode != "auto":
+            return self.gather_mode
+        # X-row gather traffic grows with feat_dim; the scatter it replaces
+        # costs ~8x the h-row bytes (measured) — crossover around 8*hidden
+        return "x" if self.feat_dim <= 8 * self.hidden else "h"
 
 
 def init_pagg_params(key: jax.Array, spec: PaggSpec, dtype=jnp.float32
@@ -159,9 +177,18 @@ def pagg_forward(params, X: jnp.ndarray, paths: jnp.ndarray,
     k1, k2 = (jax.random.split(key) if key is not None else (None, None))
     if gather_fn is None:
         gather_fn = lambda h, idx: h[idx]
-    h = X @ params["fc0"]["w"] + params["fc0"]["b"]
-    if spec.variant == "homo":
-        h = jax.nn.relu(h)
+    gm = spec.resolved_gather_mode()
+
+    def project(rows):
+        """fc0 on already-gathered rows ([..., F] → [..., H])."""
+        z = rows @ params["fc0"]["w"] + params["fc0"]["b"]
+        return jax.nn.relu(z) if spec.variant == "homo" else z
+
+    need_h = gm == "h" or (spec.variant == "hetero" and spec.quirk_compat)
+    if need_h:
+        h = X @ params["fc0"]["w"] + params["fc0"]["b"]
+        if spec.variant == "homo":
+            h = jax.nn.relu(h)
 
     B = T * nw
     H = spec.hidden
@@ -172,21 +199,30 @@ def pagg_forward(params, X: jnp.ndarray, paths: jnp.ndarray,
 
     cdt = jnp.bfloat16 if spec.compute_dtype == "bfloat16" else None
 
-    def encode_block(params, h, paths, dists, k1):
+    def encode_block(params, table, paths, dists, k1):
         """gather → distance transform → RNN.  Rematerialized under grad
         (spec.remat): backward recomputes the [T, nw, wl, H] gather and the
         per-step LSTM gates instead of storing them — the difference between
         fitting and OOMing 64k-node full-batch training in 16G HBM.
         With compute_dtype=bfloat16 the whole block runs in bf16 (activations
         AND the dist/rnn weights), halving its HBM traffic; outputs are cast
-        back to f32 for the attention/head."""
+        back to f32 for the attention/head.
+
+        ``table`` is the projected feature matrix h (gather_mode "h") or raw
+        X (mode "x" — gathered rows are projected here, so the gather has no
+        VJP scatter; see PaggSpec.gather_mode)."""
         if cdt is not None:
-            h = h.astype(cdt)
+            if gm == "h":
+                table = table.astype(cdt)
             params = dict(params)
             for k in ("dist", "rnn"):
                 params[k] = jax.tree_util.tree_map(
                     lambda x: x.astype(cdt), params[k])
-        nei = gather_fn(h, paths)                    # [T, nw, wl, H]
+        nei = gather_fn(table, paths)                # [T, nw, wl, H|F]
+        if gm == "x":
+            nei = project(jax.lax.stop_gradient(nei))
+            if cdt is not None:
+                nei = nei.astype(cdt)
         if spec.variant == "hetero":
             seq_in = jnp.flip(nei, axis=2)
             d_in = jnp.flip(dists, axis=2)
@@ -209,7 +245,8 @@ def pagg_forward(params, X: jnp.ndarray, paths: jnp.ndarray,
 
     if spec.remat:
         encode_block = jax.checkpoint(encode_block)
-    h_n, ego_per_path = encode_block(params, h, paths, dists, k1)
+    h_n, ego_per_path = encode_block(params, h if gm == "h" else X,
+                                     paths, dists, k1)
 
     if spec.agg == "attention":
         cat = jnp.concatenate([h_n, ego_per_path], axis=-1)
@@ -224,7 +261,9 @@ def pagg_forward(params, X: jnp.ndarray, paths: jnp.ndarray,
     else:
         h_agg = jnp.sum(h_n, axis=1)
 
-    out = jnp.concatenate([gather_fn(h, ego_idx), h_agg], axis=-1)
+    ego = (gather_fn(h, ego_idx) if gm == "h"
+           else project(jax.lax.stop_gradient(gather_fn(X, ego_idx))))
+    out = jnp.concatenate([ego, h_agg], axis=-1)
     out = _dropout(out, spec.dropout, train, k2)
     return out @ params["fc2"]["w"] + params["fc2"]["b"]
 

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from ..data.graph import Graph, DeviceGraph
 from .alias import AliasSampler, CdfSampler
 from .distance import (bfs_distance_table, bfs_distance_table_host,
-                       membership_dists)
+                       build_khop_tables, khop_dists, membership_dists)
 
 
 def sample_paths(sampler: Union[AliasSampler, CdfSampler], key: jax.Array,
@@ -63,6 +63,9 @@ class PathSampler:
     Distance backends:
     - ``membership`` (default, walk_len <= 4): N1/N2 row-compare tests,
       O(n·D) memory — the TPU-fast path;
+    - ``khop`` (default for walk_len >= 5): sorted exact-k-hop tables +
+      searchsorted probes, O(n·Dk) memory — the memory-bounded path that
+      makes the reference's length-5 ablation feasible at gen_epoch scale;
     - ``dense``: [n, n] int8 truncated-BFS table built on device;
     - ``host``: same table via the scipy oracle;
     - ``none``: no distances (dists=None).
@@ -74,6 +77,7 @@ class PathSampler:
     dist_table: Optional[jnp.ndarray]
     nbr: Optional[jnp.ndarray] = None    # [n, D] for membership mode
     deg: Optional[jnp.ndarray] = None    # [n]
+    khop: Optional[tuple] = None         # sorted [n, Dk] tables, levels 1..L
 
     # -- construction -------------------------------------------------------
 
@@ -96,20 +100,31 @@ class PathSampler:
         smp = (AliasSampler.from_device_graph(dg) if sampler == "alias"
                else CdfSampler.from_device_graph(dg))
         if distance_backend == "auto":
-            distance_backend = "membership" if walk_len <= 4 else "dense"
+            distance_backend = "membership" if walk_len <= 4 else "khop"
         table = None
         nbr = deg = None
+        khop = None
         if distance_backend == "membership":
             if walk_len > 4:
                 raise ValueError("membership distances support walk_len <= 4; "
-                                 "use distance_backend='dense'")
+                                 "use distance_backend='khop'")
             nbr, deg = dg.nbr, dg.deg
+        elif distance_backend == "khop":
+            try:
+                # memory guard: any one level's table capped at ~1 GiB
+                # (beyond that the dense [n, n] table is no worse)
+                max_width = max(64, (1 << 30) // (4 * g.n))
+                khop = tuple(jnp.asarray(t) for t in build_khop_tables(
+                    g, walk_len - 1, max_width=min(max_width, g.n)))
+            except ValueError:
+                table = bfs_distance_table(g, walk_len, distance_chunk)
         elif distance_backend == "dense":
             table = bfs_distance_table(g, walk_len, distance_chunk)
         elif distance_backend == "host":
             table = jnp.asarray(bfs_distance_table_host(g, walk_len))
         return PathSampler(num_walks=num_walks, walk_len=walk_len,
-                           sampler=smp, dist_table=table, nbr=nbr, deg=deg)
+                           sampler=smp, dist_table=table, nbr=nbr, deg=deg,
+                           khop=khop)
 
     # -- sampling -----------------------------------------------------------
 
@@ -127,6 +142,8 @@ class PathSampler:
                              self.walk_len)
         if self.nbr is not None:
             dists = membership_dists(self.nbr, self.deg, starts, paths)
+        elif self.khop is not None:
+            dists = khop_dists(self.khop, starts, paths)
         elif self.dist_table is not None:
             # 2-D advanced indexing: a flattened index would overflow int32
             # for n > ~46k (n^2 > 2^31)
@@ -142,15 +159,15 @@ class PathSampler:
     # -- pytree -------------------------------------------------------------
 
     def tree_flatten(self):
-        return ((self.sampler, self.dist_table, self.nbr, self.deg),
-                (self.num_walks, self.walk_len))
+        return ((self.sampler, self.dist_table, self.nbr, self.deg,
+                 self.khop), (self.num_walks, self.walk_len))
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         num_walks, walk_len = aux
-        sampler, dist_table, nbr, deg = leaves
+        sampler, dist_table, nbr, deg, khop = leaves
         return cls(num_walks=num_walks, walk_len=walk_len, sampler=sampler,
-                   dist_table=dist_table, nbr=nbr, deg=deg)
+                   dist_table=dist_table, nbr=nbr, deg=deg, khop=khop)
 
 
 def sample_epoch(ps: PathSampler, base_key: jax.Array, epoch):
