@@ -53,6 +53,11 @@ class DatasetSpec:
     # homophily).
     signal: float = 2.0
     structure: float = 0.75
+    # off-diagonal pattern of the class-compatibility matrix ("shift" |
+    # "matching"); WebKB-style role graphs use the invertible pairing —
+    # see synthetic.compat_matrix and the Bayes-ceiling probe
+    # (scripts/standin_ceiling.py)
+    offdiag: str = "shift"
 
 
 # ``signal`` values produced by scripts/calibrate_standins.py (ridge probe
@@ -63,7 +68,8 @@ class DatasetSpec:
 # exact by construction.
 DATASETS: Dict[str, DatasetSpec] = {
     "cornell": DatasetSpec("cornell", "hetero", "fixed", 5, 1703, 0.30,
-                           edge_file="cornell.in", val_size=59, signal=1.48),
+                           edge_file="cornell.in", val_size=59, signal=1.27,
+                           structure=0.97, offdiag="matching"),
     "cora": DatasetSpec("cora", "homo", "fixed", 7, 1433, 0.81,
                         edge_file="cora_nsl.in", val_size=1019, signal=3.70),
     "citeseer": DatasetSpec("citeseer", "homo", "fixed", 6, 3703, 0.74,
@@ -91,9 +97,11 @@ DATASETS: Dict[str, DatasetSpec] = {
     "film": DatasetSpec("film", "hetero", "fixed", 5, 931, 0.22,
                         n=7600, avg_deg=8.8, val_size=3648, signal=1.43),
     "texas": DatasetSpec("texas", "hetero", "fixed", 5, 1703, 0.11,
-                         n=183, avg_deg=3.4, val_size=59, signal=1.44),
+                         n=183, avg_deg=3.4, val_size=59, signal=1.44,
+                         structure=0.97, offdiag="matching"),
     "wisconsin": DatasetSpec("wisconsin", "hetero", "fixed", 5, 1703, 0.21,
-                             n=251, avg_deg=4.0, val_size=80, signal=1.73),
+                             n=251, avg_deg=4.0, val_size=80, signal=1.73,
+                             structure=0.97, offdiag="matching"),
 }
 
 
@@ -138,7 +146,8 @@ def load_structure(name: str, data_root: str = "data") -> Graph:
         raise FileNotFoundError(f"no edge file for {name} and no synthetic size")
     return synthetic_graph(spec.n, spec.avg_deg, spec.num_classes,
                            spec.homophily, spec.feat_dim, signal=spec.signal,
-                           structure=spec.structure, seed=_stable_seed(name))
+                           structure=spec.structure, seed=_stable_seed(name),
+                           offdiag=spec.offdiag)
 
 
 def load_dataset(name: str, data_root: str = "data", round_i: int = 0,
@@ -184,7 +193,8 @@ def load_dataset(name: str, data_root: str = "data", round_i: int = 0,
             g = attach_synthetic_payload(g, spec.num_classes, spec.feat_dim,
                                          spec.homophily, signal=spec.signal,
                                          structure=spec.structure,
-                                         seed=_stable_seed(name))
+                                         seed=_stable_seed(name),
+                                         offdiag=spec.offdiag)
 
     if spec.split == "random":
         train, val, test = get_whole_mask(g.labels, seed=round_i + 1)

@@ -49,25 +49,43 @@ def synthetic_features(labels: np.ndarray, feat_dim: int, num_classes: int,
     return x.astype(np.float32)
 
 
-def compat_matrix(num_classes: int, homophily: float, structure: float = 0.75
-                  ) -> np.ndarray:
+def compat_matrix(num_classes: int, homophily: float, structure: float = 0.75,
+                  offdiag: str = "shift") -> np.ndarray:
     """Symmetric class-compatibility matrix with target edge homophily.
 
     ``M[c, c'] = P(other endpoint is c' | one endpoint is c)``: diagonal mass
-    ``homophily``; the off-diagonal splits between a cyclic-shift structure
-    (weight ``structure`` — neighbors of class c are concentrated in classes
-    c±1, the "role" pattern of real heterophilous graphs like cornell's
-    student→faculty links) and a uniform remainder.  High ``structure`` at
+    ``homophily``; the off-diagonal splits between a structured pattern
+    (weight ``structure``) and a uniform remainder.  High ``structure`` at
     low ``homophily`` is exactly the regime where neighbor information is
     valuable but naive homophilous smoothing fails — the paper's motivation
     ("Beyond Homophily").
+
+    ``offdiag`` picks the structured pattern:
+    - ``"shift"`` — neighbors of class c concentrate in c±1 (cyclic).  NB:
+      this is reflection-ambiguous — classes c-1 and c+1 are statistically
+      interchangeable given counts, which caps how much any model can read
+      from neighbors (measured oracle ceiling +2 pts on cornell).
+    - ``"matching"`` — classes pair off (0↔1, 2↔3, …; an odd leftover class
+      links to the 0↔1 pair).  The pairing is invertible from neighbor
+      counts, so the label field carries sharply more structure signal at
+      the same homophily — the WebKB-style "role" pattern (student↔course)
+      used for the cornell/texas/wisconsin stand-ins.
     """
     C = num_classes
     eye = np.eye(C)
     if C == 1:
         return np.ones((1, 1))
-    shift = np.roll(eye, 1, axis=1)
-    off_structured = (shift + shift.T) / 2.0          # symmetric, rows sum 1
+    if offdiag == "matching":
+        off_structured = np.zeros((C, C))
+        for i in range(0, C - 1, 2):
+            off_structured[i, i + 1] = off_structured[i + 1, i] = 1.0
+        if C % 2 == 1:
+            off_structured[C - 1, 0] = off_structured[0, C - 1] = 1.0
+            off_structured[0] /= off_structured[0].sum()
+            off_structured[:, 0] = off_structured[0]
+    else:
+        shift = np.roll(eye, 1, axis=1)
+        off_structured = (shift + shift.T) / 2.0      # symmetric, rows sum 1
     off_uniform = (1.0 - eye) / (C - 1)
     off = structure * off_structured + (1.0 - structure) * off_uniform
     M = homophily * eye + (1.0 - homophily) * off
@@ -83,8 +101,9 @@ def edge_homophily(src: np.ndarray, dst: np.ndarray, y: np.ndarray) -> float:
 
 
 def compat_labels(g: Graph, num_classes: int, homophily: float = 0.5,
-                  structure: float = 0.75, seed: int = 0, sweeps: int = 24,
-                  calibration_rounds: int = 4) -> np.ndarray:
+                  structure: float = 0.75, seed: int = 0, sweeps: int = 32,
+                  calibration_rounds: int = 8,
+                  offdiag: str = "shift") -> np.ndarray:
     """Structure-informative labels on a fixed edge structure.
 
     Annealed Gibbs sweeps under the :func:`compat_matrix` potential: each
@@ -111,7 +130,8 @@ def compat_labels(g: Graph, num_classes: int, homophily: float = 0.5,
     y = rng.integers(0, num_classes, size=g.n)
     best_y, best_err = y, np.inf
     for _ in range(max(1, calibration_rounds)):
-        logM = np.log(compat_matrix(num_classes, h_param, structure) + 1e-9)
+        logM = np.log(compat_matrix(num_classes, h_param, structure,
+                                    offdiag) + 1e-9)
         y = rng.integers(0, num_classes, size=g.n)
         for s in range(sweeps):
             counts = A @ eye[y]                              # [n, C]
@@ -136,14 +156,16 @@ def compat_labels(g: Graph, num_classes: int, homophily: float = 0.5,
 def attach_synthetic_payload(g: Graph, num_classes: int = 5, feat_dim: int = 128,
                              homophily: float = 0.5, signal: float = 3.0,
                              seed: int = 0, structure: float = 0.75,
-                             n_train: Optional[int] = None) -> Graph:
+                             n_train: Optional[int] = None,
+                             offdiag: str = "shift") -> Graph:
     """Attach deterministic synthetic labels + features to a real structure.
 
     ``n_train`` defaults to the protocol's 48% train fraction
     (data_loader.py:74-119 semantics) so the feature signal calibration
     matches what the trainer will actually see.
     """
-    y = compat_labels(g, num_classes, homophily, structure, seed)
+    y = compat_labels(g, num_classes, homophily, structure, seed,
+                      offdiag=offdiag)
     if n_train is None:
         n_train = max(1, int(0.48 * g.n))
     x = synthetic_features(y, feat_dim, num_classes, signal, seed + 1, n_train)
@@ -154,7 +176,8 @@ def attach_synthetic_payload(g: Graph, num_classes: int = 5, feat_dim: int = 128
 def synthetic_graph(n: int, avg_deg: float, num_classes: int = 5,
                     homophily: float = 0.5, feat_dim: int = 128,
                     signal: float = 3.0, seed: int = 0,
-                    structure: float = 0.75) -> Graph:
+                    structure: float = 0.75,
+                    offdiag: str = "shift") -> Graph:
     """SBM-flavored random graph drawn from a class-compatibility matrix.
 
     Labels first; each undirected edge picks endpoint ``u`` uniformly and the
@@ -166,7 +189,7 @@ def synthetic_graph(n: int, avg_deg: float, num_classes: int = 5,
     """
     rng = np.random.default_rng(seed)
     y = rng.integers(0, num_classes, size=n).astype(np.int64)
-    M = compat_matrix(num_classes, homophily, structure)
+    M = compat_matrix(num_classes, homophily, structure, offdiag)
     m = int(n * avg_deg / 2)
     by_class = [np.flatnonzero(y == c) for c in range(num_classes)]
     by_class = [b if len(b) else np.arange(n) for b in by_class]

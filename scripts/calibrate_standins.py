@@ -84,7 +84,7 @@ def calibrate(name: str) -> None:
         y = g.labels
     else:
         y = compat_labels(g, spec.num_classes, spec.homophily, spec.structure,
-                          seed=seed)
+                          seed=seed, offdiag=spec.offdiag)
     h = edge_homophily(g.src, g.dst, y)
     target = MLP_TARGET[name]
     lo, hi = 0.3, 8.0
