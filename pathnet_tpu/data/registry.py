@@ -58,6 +58,14 @@ class DatasetSpec:
     # see synthetic.compat_matrix and the Bayes-ceiling probe
     # (scripts/standin_ceiling.py)
     offdiag: str = "shift"
+    # irreducible label noise ρ (synthetic.flip_labels): observed labels are
+    # the field flipped to uniform w.p. ρ, capping every model at
+    # ceiling = (1-ρ) + ρ/C.  Calibrated so the ceiling sits ~2 pts above
+    # the documented PathNet row — clean generative payloads at the
+    # documented homophily are otherwise ~95% learnable (measured,
+    # scripts/calibrate_structure.py), which is why round-2 stand-ins
+    # overshot the reference by 10-20 pts.
+    label_noise: float = 0.0
 
 
 # ``signal`` values produced by scripts/calibrate_standins.py (ridge probe
@@ -69,39 +77,49 @@ class DatasetSpec:
 DATASETS: Dict[str, DatasetSpec] = {
     "cornell": DatasetSpec("cornell", "hetero", "fixed", 5, 1703, 0.30,
                            edge_file="cornell.in", val_size=59, signal=1.27,
-                           structure=0.97, offdiag="matching"),
+                           structure=0.97, offdiag="matching",
+                           label_noise=0.083),
     "cora": DatasetSpec("cora", "homo", "fixed", 7, 1433, 0.81,
-                        edge_file="cora_nsl.in", val_size=1019, signal=3.70),
+                        edge_file="cora_nsl.in", val_size=1019, signal=3.70,
+                        label_noise=0.143),
     "citeseer": DatasetSpec("citeseer", "homo", "fixed", 6, 3703, 0.74,
                             edge_file="citeseer.in", val_size=1879,
-                            signal=2.91),
+                            signal=2.91, label_noise=0.240),
     "Nba": DatasetSpec("Nba", "hetero", "random", 2, 96, 0.39,
-                       edge_file="Nba.in", signal=1.04),
+                       edge_file="Nba.in", signal=1.04, label_noise=0.526),
     "pubmed": DatasetSpec("pubmed", "homo", "fixed", 3, 500, 0.80,
                           n=19717, avg_deg=4.5, val_size=6310, large=True,
-                          signal=2.86),
+                          signal=2.86, label_noise=0.136),
     "bgp": DatasetSpec("bgp", "hetero", "random", 8, 287, 0.37,
-                       n=63977, avg_deg=10.0, large=True, signal=2.55),
+                       n=63977, avg_deg=10.0, large=True, signal=2.55,
+                       label_noise=0.369),
     "Electronics": DatasetSpec("Electronics", "hetero", "random", 10, 8669, 0.25,
-                               n=42318, avg_deg=8.0, large=True, signal=4.92),
+                               n=42318, avg_deg=8.0, large=True, signal=4.92,
+                               label_noise=0.234),
     "Dblp": DatasetSpec("Dblp", "hetero", "random", 4, 334, 0.45,
-                        n=17716, avg_deg=6.0, large=True, signal=2.13),
+                        n=17716, avg_deg=6.0, large=True, signal=2.13,
+                        label_noise=0.240),
     # Geom-GCN datasets carried by the reference dataset.json (val sizes
     # from there; scale/homophily from the Geom-GCN/H2GCN papers).  Loaded
     # from <root>/geomgcn/<name>/out1_* when present (formats.load_geomgcn),
     # else SBM stand-ins.
     "chameleon": DatasetSpec("chameleon", "hetero", "fixed", 5, 2325, 0.23,
-                             n=2277, avg_deg=31.7, val_size=729, signal=1.79),
+                             n=2277, avg_deg=31.7, val_size=729, signal=1.79,
+                             label_noise=0.438),
     "squirrel": DatasetSpec("squirrel", "hetero", "fixed", 5, 2089, 0.22,
-                            n=5201, avg_deg=83.5, val_size=1664, signal=1.34),
+                            n=5201, avg_deg=83.5, val_size=1664, signal=1.34,
+                            label_noise=0.688),
     "film": DatasetSpec("film", "hetero", "fixed", 5, 931, 0.22,
-                        n=7600, avg_deg=8.8, val_size=3648, signal=1.43),
+                        n=7600, avg_deg=8.8, val_size=3648, signal=1.43,
+                        label_noise=0.725),
     "texas": DatasetSpec("texas", "hetero", "fixed", 5, 1703, 0.11,
                          n=183, avg_deg=3.4, val_size=59, signal=1.44,
-                         structure=0.97, offdiag="matching"),
+                         structure=0.97, offdiag="matching",
+                         label_noise=0.150),
     "wisconsin": DatasetSpec("wisconsin", "hetero", "fixed", 5, 1703, 0.21,
                              n=251, avg_deg=4.0, val_size=80, signal=1.73,
-                             structure=0.97, offdiag="matching"),
+                             structure=0.97, offdiag="matching",
+                             label_noise=0.125),
 }
 
 
@@ -147,7 +165,7 @@ def load_structure(name: str, data_root: str = "data") -> Graph:
     return synthetic_graph(spec.n, spec.avg_deg, spec.num_classes,
                            spec.homophily, spec.feat_dim, signal=spec.signal,
                            structure=spec.structure, seed=_stable_seed(name),
-                           offdiag=spec.offdiag)
+                           offdiag=spec.offdiag, label_noise=spec.label_noise)
 
 
 def load_dataset(name: str, data_root: str = "data", round_i: int = 0,
@@ -194,7 +212,8 @@ def load_dataset(name: str, data_root: str = "data", round_i: int = 0,
                                          spec.homophily, signal=spec.signal,
                                          structure=spec.structure,
                                          seed=_stable_seed(name),
-                                         offdiag=spec.offdiag)
+                                         offdiag=spec.offdiag,
+                                         label_noise=spec.label_noise)
 
     if spec.split == "random":
         train, val, test = get_whole_mask(g.labels, seed=round_i + 1)

@@ -92,6 +92,43 @@ def compat_matrix(num_classes: int, homophily: float, structure: float = 0.75,
     return M / M.sum(axis=1, keepdims=True)
 
 
+def field_homophily_for(h_obs: float, label_noise: float, num_classes: int
+                        ) -> float:
+    """Field (true-label) homophily that yields ``h_obs`` after flipping
+    labels to uniform with prob ``label_noise``.
+
+    With independent flips, P(observed labels agree on an edge) =
+    (1-ρ)²·h_field + (1-(1-ρ)²)/C — invert for h_field.
+    """
+    keep2 = (1.0 - label_noise) ** 2
+    if keep2 <= 1e-6:
+        return 0.5
+    return float(np.clip((h_obs - (1.0 - keep2) / num_classes) / keep2,
+                         0.02, 0.98))
+
+
+def flip_labels(y: np.ndarray, label_noise: float, num_classes: int,
+                seed: int) -> np.ndarray:
+    """Observed labels: each flipped to uniform-random with prob ρ.
+
+    This is the stand-ins' *irreducible noise floor* — the real datasets'
+    accuracy ceilings (PathNet 65–78% on bgp/Electronics/Nba) are far below
+    what any clean generative payload supports at the documented homophily
+    (a clean SBM at Electronics' (n, deg, C, h) is ~95% learnable —
+    measured, scripts/calibrate_structure.py).  Flipping caps every model at
+    ceiling = (1-ρ) + ρ/C, so calibrating ρ to the documented PathNet row
+    reproduces the real phenomenology: MLP lands at its row, structure
+    models close most of the remaining gap to the ceiling, and the
+    PathNet−MLP gap compresses to the documented few points.
+    """
+    if label_noise <= 0:
+        return y
+    rng = np.random.default_rng(seed)
+    flip = rng.random(len(y)) < label_noise
+    rand = rng.integers(0, num_classes, size=len(y))
+    return np.where(flip, rand, y).astype(np.int64)
+
+
 def edge_homophily(src: np.ndarray, dst: np.ndarray, y: np.ndarray) -> float:
     """Fraction of (non-self-loop) edges whose endpoints share a label —
     the table-header statistic of performance.jpg (self-loops are trivially
@@ -157,18 +194,28 @@ def attach_synthetic_payload(g: Graph, num_classes: int = 5, feat_dim: int = 128
                              homophily: float = 0.5, signal: float = 3.0,
                              seed: int = 0, structure: float = 0.75,
                              n_train: Optional[int] = None,
-                             offdiag: str = "shift") -> Graph:
+                             offdiag: str = "shift",
+                             label_noise: float = 0.0) -> Graph:
     """Attach deterministic synthetic labels + features to a real structure.
 
     ``n_train`` defaults to the protocol's 48% train fraction
     (data_loader.py:74-119 semantics) so the feature signal calibration
     matches what the trainer will actually see.
+
+    ``label_noise`` (ρ) separates the clean *field* y* (drives the graph
+    coupling and the features) from the *observed* labels (y* flipped to
+    uniform w.p. ρ) — see :func:`flip_labels`.  ``homophily`` is the target
+    on the OBSERVED labels; the field is annealed to the stronger
+    :func:`field_homophily_for` value so the flips land it on target.
     """
-    y = compat_labels(g, num_classes, homophily, structure, seed,
-                      offdiag=offdiag)
+    h_field = field_homophily_for(homophily, label_noise, num_classes)
+    y_true = compat_labels(g, num_classes, h_field, structure, seed,
+                           offdiag=offdiag)
     if n_train is None:
         n_train = max(1, int(0.48 * g.n))
-    x = synthetic_features(y, feat_dim, num_classes, signal, seed + 1, n_train)
+    x = synthetic_features(y_true, feat_dim, num_classes, signal, seed + 1,
+                           n_train)
+    y = flip_labels(y_true, label_noise, num_classes, seed + 2)
     return Graph(n=g.n, src=g.src, dst=g.dst, prob=g.prob,
                  features=x, labels=y, name=g.name or "synthetic")
 
@@ -177,7 +224,8 @@ def synthetic_graph(n: int, avg_deg: float, num_classes: int = 5,
                     homophily: float = 0.5, feat_dim: int = 128,
                     signal: float = 3.0, seed: int = 0,
                     structure: float = 0.75,
-                    offdiag: str = "shift") -> Graph:
+                    offdiag: str = "shift",
+                    label_noise: float = 0.0) -> Graph:
     """SBM-flavored random graph drawn from a class-compatibility matrix.
 
     Labels first; each undirected edge picks endpoint ``u`` uniformly and the
@@ -189,7 +237,8 @@ def synthetic_graph(n: int, avg_deg: float, num_classes: int = 5,
     """
     rng = np.random.default_rng(seed)
     y = rng.integers(0, num_classes, size=n).astype(np.int64)
-    M = compat_matrix(num_classes, homophily, structure, offdiag)
+    h_field = field_homophily_for(homophily, label_noise, num_classes)
+    M = compat_matrix(num_classes, h_field, structure, offdiag)
     m = int(n * avg_deg / 2)
     by_class = [np.flatnonzero(y == c) for c in range(num_classes)]
     by_class = [b if len(b) else np.arange(n) for b in by_class]
@@ -206,8 +255,9 @@ def synthetic_graph(n: int, avg_deg: float, num_classes: int = 5,
     dst = np.concatenate([v, u]).astype(np.int32)
     x = synthetic_features(y, feat_dim, num_classes, signal, seed + 1,
                            n_train=max(1, int(0.48 * n)))
+    y_obs = flip_labels(y, label_noise, num_classes, seed + 2)
     return Graph(n=n, src=src, dst=dst, prob=np.ones(len(src)),
-                 features=x, labels=y, name=f"sbm_n{n}")
+                 features=x, labels=y_obs, name=f"sbm_n{n}")
 
 
 def synthetic_labels(g: Graph, num_classes: int, homophily: float = 0.5,
