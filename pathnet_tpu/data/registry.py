@@ -81,10 +81,10 @@ DATASETS: Dict[str, DatasetSpec] = {
                            label_noise=0.083),
     "cora": DatasetSpec("cora", "homo", "fixed", 7, 1433, 0.81,
                         edge_file="cora_nsl.in", val_size=1019, signal=3.70,
-                        label_noise=0.143),
+                        label_noise=0.102),
     "citeseer": DatasetSpec("citeseer", "homo", "fixed", 6, 3703, 0.74,
                             edge_file="citeseer.in", val_size=1879,
-                            signal=2.91, label_noise=0.240),
+                            signal=2.91, label_noise=0.155),
     "Nba": DatasetSpec("Nba", "hetero", "random", 2, 96, 0.39,
                        edge_file="Nba.in", signal=1.04, label_noise=0.526),
     "pubmed": DatasetSpec("pubmed", "homo", "fixed", 3, 500, 0.80,

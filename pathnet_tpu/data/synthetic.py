@@ -80,9 +80,12 @@ def compat_matrix(num_classes: int, homophily: float, structure: float = 0.75,
         for i in range(0, C - 1, 2):
             off_structured[i, i + 1] = off_structured[i + 1, i] = 1.0
         if C % 2 == 1:
-            off_structured[C - 1, 0] = off_structured[0, C - 1] = 1.0
-            off_structured[0] /= off_structured[0].sum()
-            off_structured[:, 0] = off_structured[0]
+            # odd C: classes (0, 1, C-1) form a symmetric doubly-stochastic
+            # triangle (each row still sums to 1; neighbor profiles stay
+            # distinct per class, so the pattern remains invertible)
+            off_structured[0, 1] = off_structured[1, 0] = 0.5
+            off_structured[0, C - 1] = off_structured[C - 1, 0] = 0.5
+            off_structured[1, C - 1] = off_structured[C - 1, 1] = 0.5
     else:
         shift = np.roll(eye, 1, axis=1)
         off_structured = (shift + shift.T) / 2.0      # symmetric, rows sum 1
@@ -172,7 +175,9 @@ def compat_labels(g: Graph, num_classes: int, homophily: float = 0.5,
         y = rng.integers(0, num_classes, size=g.n)
         for s in range(sweeps):
             counts = A @ eye[y]                              # [n, C]
-            temp = max(0.2, 2.0 - 0.15 * s)
+            # cold finish (T->0.05): high-|h-0.5| targets (cora field 0.97,
+            # Nba anti-ferro 0.02) are unreachable at the old 0.2 floor
+            temp = max(0.05, 2.0 - 0.15 * s)
             gumbel = rng.gumbel(size=counts.shape)
             prop = (counts @ logM / temp + gumbel).argmax(axis=1)
             upd = rng.random(g.n) < 0.5
