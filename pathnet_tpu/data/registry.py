@@ -86,18 +86,18 @@ DATASETS: Dict[str, DatasetSpec] = {
                             edge_file="citeseer.in", val_size=1879,
                             signal=2.91, label_noise=0.155),
     "Nba": DatasetSpec("Nba", "hetero", "random", 2, 96, 0.39,
-                       edge_file="Nba.in", signal=1.04, label_noise=0.526),
+                       edge_file="Nba.in", signal=1.04, label_noise=0.20),
     "pubmed": DatasetSpec("pubmed", "homo", "fixed", 3, 500, 0.80,
                           n=19717, avg_deg=4.5, val_size=6310, large=True,
-                          signal=2.86, label_noise=0.136),
+                          signal=4.03, label_noise=0.136),
     "bgp": DatasetSpec("bgp", "hetero", "random", 8, 287, 0.37,
-                       n=63977, avg_deg=10.0, large=True, signal=2.55,
+                       n=63977, avg_deg=10.0, large=True, signal=4.64,
                        label_noise=0.369),
     "Electronics": DatasetSpec("Electronics", "hetero", "random", 10, 8669, 0.25,
                                n=42318, avg_deg=8.0, large=True, signal=4.92,
                                label_noise=0.234),
     "Dblp": DatasetSpec("Dblp", "hetero", "random", 4, 334, 0.45,
-                        n=17716, avg_deg=6.0, large=True, signal=2.13,
+                        n=17716, avg_deg=6.0, large=True, signal=3.19,
                         label_noise=0.240),
     # Geom-GCN datasets carried by the reference dataset.json (val sizes
     # from there; scale/homophily from the Geom-GCN/H2GCN papers).  Loaded
@@ -113,11 +113,11 @@ DATASETS: Dict[str, DatasetSpec] = {
                         n=7600, avg_deg=8.8, val_size=3648, signal=1.43,
                         label_noise=0.725),
     "texas": DatasetSpec("texas", "hetero", "fixed", 5, 1703, 0.11,
-                         n=183, avg_deg=3.4, val_size=59, signal=1.44,
+                         n=183, avg_deg=3.4, val_size=59, signal=1.73,
                          structure=0.97, offdiag="matching",
                          label_noise=0.150),
     "wisconsin": DatasetSpec("wisconsin", "hetero", "fixed", 5, 1703, 0.21,
-                             n=251, avg_deg=4.0, val_size=80, signal=1.73,
+                             n=251, avg_deg=4.0, val_size=80, signal=1.99,
                              structure=0.97, offdiag="matching",
                              label_noise=0.125),
 }

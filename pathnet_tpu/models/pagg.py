@@ -67,9 +67,13 @@ class PaggSpec:
     dropout: float = 0.7
     quirk_compat: bool = False
     # rematerialize the gather→transform→RNN block under grad (trades ~2x
-    # encode FLOPs for O(B·wl·H) activation memory; required for 64k-node
-    # full-batch training in 16G HBM)
-    remat: bool = True
+    # encode FLOPs for O(B·wl·H) activation memory).  Off by default:
+    # measured 1.2x faster at bgp-standin scale with microbatching
+    # (results/grad_probe2.json — the recompute re-pays the gather's
+    # per-row latency, the true wall); run_protocol re-enables it for
+    # large full-batch (non-microbatched) rounds where activations exceed
+    # HBM.
+    remat: bool = False
     # compute dtype for the encode pipeline (gather → distance transform →
     # RNN): "bfloat16" halves HBM traffic on the [B·wl, H] activations (the
     # hot path is bandwidth-bound, not FLOP-bound).  Params, the attention/
@@ -91,9 +95,12 @@ class PaggSpec:
     def resolved_gather_mode(self) -> str:
         if self.gather_mode != "auto":
             return self.gather_mode
-        # X-row gather traffic grows with feat_dim; the scatter it replaces
-        # costs ~8x the h-row bytes (measured) — crossover around 8*hidden
-        return "x" if self.feat_dim <= 8 * self.hidden else "h"
+        # TPU gathers cost per-ROW up to ~one (8,128) tile and per-BYTE
+        # beyond (results/walk_probe.json: [2.56M,25] rows 29ms ≈ [2.56M,1]
+        # 41ms; doubling width doubles time past a tile).  So gathering raw
+        # X rows is free exactly when an X row fits the same tile as an h
+        # row — then "x" drops the VJP scatter for nothing.
+        return "x" if self.feat_dim <= 128 else "h"
 
 
 def init_pagg_params(key: jax.Array, spec: PaggSpec, dtype=jnp.float32

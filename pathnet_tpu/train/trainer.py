@@ -385,11 +385,16 @@ def run_protocol(name: str, data_root: str = "data",
             ps = PathSampler.build(g, num_walks, walk_len, kind=kind)
             X = jnp.asarray(g.features)
             y = jnp.asarray(g.labels)
+            # remat only when a big batch runs un-microbatched (activations
+            # O(B·wl·H) would exceed HBM); microbatched rounds run faster
+            # without it (results/grad_probe2.json)
+            need_remat = (cfg.microbatch is None
+                          and g.n * num_walks * walk_len > 20_000_000)
             spec = PaggSpec(feat_dim=g.features.shape[1], hidden=hidden,
                             out_dim=spec_d.num_classes, walk_len=walk_len,
                             variant=variant, rnn=rnn, agg=agg, dropout=dropout,
                             quirk_compat=quirk_compat,
-                            compute_dtype=compute_dtype)
+                            compute_dtype=compute_dtype, remat=need_remat)
         res = run_round(X, y, ps, spec, cfg, train_mask, val_mask, test_mask,
                         spec_d.num_classes, seed=cfg.seed + round_i,
                         keep_params=ckpt_dir is not None, mesh=mesh,

@@ -42,7 +42,13 @@ MLP_TARGET = {
 
 
 def ridge_probe(X, y, train, val, test, num_classes) -> float:
-    """Validation-tuned ridge classifier accuracy on the test mask."""
+    """MLP proxy: max of validation-tuned ridge and nearest-centroid.
+
+    Under heavy label noise the one-vs-all ridge plateaus well below the
+    Bayes rule while a CE-trained MLP does not (measured: film at signal 40
+    — ridge 0.27, nearest-centroid 0.43 ≈ the 0.42 ceiling); the
+    nearest-centroid rule is Bayes-optimal for the isotropic Gaussian
+    payload, so the max of the two tracks an actual tuned MLP."""
     Xtr, ytr = X[train], y[train]
     d = X.shape[1]
     onehot = np.eye(num_classes, dtype=np.float32)[ytr]
@@ -54,7 +60,12 @@ def ridge_probe(X, y, train, val, test, num_classes) -> float:
         va = float((np.asarray(X[val] @ W).argmax(1) == y[val]).mean())
         if va > best_val:
             best, best_val = W, va
-    return float((np.asarray(X[test] @ best).argmax(1) == y[test]).mean())
+    ridge = float((np.asarray(X[test] @ best).argmax(1) == y[test]).mean())
+    cent = np.stack([Xtr[ytr == c].mean(0) if (ytr == c).any()
+                     else Xtr.mean(0) for c in range(num_classes)])
+    pred = ((X[test][:, None, :] - cent[None]) ** 2).sum(-1).argmin(1)
+    centroid = float((pred == y[test]).mean())
+    return max(ridge, centroid)
 
 
 def masks_for(spec, y, round_i):
@@ -109,8 +120,9 @@ def calibrate(name: str) -> None:
     h = edge_homophily(g.src, g.dst, y_obs)
     ceiling = (1 - spec.label_noise) + spec.label_noise / spec.num_classes
     target = MLP_TARGET[name]
-    lo, hi = 0.3, 10.0
-    for _ in range(11):
+    lo, hi = 0.3, 40.0   # heavy label noise dilutes the usable
+    # regression signal by ~(1-rho); film/squirrel need >10
+    for _ in range(13):
         mid = 0.5 * (lo + hi)
         acc = probe_acc(spec, g, y_true, y_obs, mid, seed)
         if acc < target:
