@@ -76,17 +76,17 @@ class DatasetSpec:
 # exact by construction.
 DATASETS: Dict[str, DatasetSpec] = {
     "cornell": DatasetSpec("cornell", "hetero", "fixed", 5, 1703, 0.30,
-                           edge_file="cornell.in", val_size=59, signal=1.27,
+                           edge_file="cornell.in", val_size=59, signal=1.45,
                            structure=0.97, offdiag="matching",
                            label_noise=0.083),
     "cora": DatasetSpec("cora", "homo", "fixed", 7, 1433, 0.81,
-                        edge_file="cora_nsl.in", val_size=1019, signal=3.70,
+                        edge_file="cora_nsl.in", val_size=1019, signal=2.94,
                         label_noise=0.102),
     "citeseer": DatasetSpec("citeseer", "homo", "fixed", 6, 3703, 0.74,
                             edge_file="citeseer.in", val_size=1879,
-                            signal=2.91, label_noise=0.155),
+                            signal=5.41, label_noise=0.155),
     "Nba": DatasetSpec("Nba", "hetero", "random", 2, 96, 0.39,
-                       edge_file="Nba.in", signal=1.04, label_noise=0.20),
+                       edge_file="Nba.in", signal=1.03, label_noise=0.20),
     "pubmed": DatasetSpec("pubmed", "homo", "fixed", 3, 500, 0.80,
                           n=19717, avg_deg=4.5, val_size=6310, large=True,
                           signal=4.03, label_noise=0.136),
@@ -94,7 +94,7 @@ DATASETS: Dict[str, DatasetSpec] = {
                        n=63977, avg_deg=10.0, large=True, signal=4.64,
                        label_noise=0.369),
     "Electronics": DatasetSpec("Electronics", "hetero", "random", 10, 8669, 0.25,
-                               n=42318, avg_deg=8.0, large=True, signal=4.92,
+                               n=42318, avg_deg=8.0, large=True, signal=12.76,
                                label_noise=0.234),
     "Dblp": DatasetSpec("Dblp", "hetero", "random", 4, 334, 0.45,
                         n=17716, avg_deg=6.0, large=True, signal=3.19,
@@ -104,13 +104,13 @@ DATASETS: Dict[str, DatasetSpec] = {
     # from <root>/geomgcn/<name>/out1_* when present (formats.load_geomgcn),
     # else SBM stand-ins.
     "chameleon": DatasetSpec("chameleon", "hetero", "fixed", 5, 2325, 0.23,
-                             n=2277, avg_deg=31.7, val_size=729, signal=1.79,
+                             n=2277, avg_deg=31.7, val_size=729, signal=3.48,
                              label_noise=0.438),
     "squirrel": DatasetSpec("squirrel", "hetero", "fixed", 5, 2089, 0.22,
-                            n=5201, avg_deg=83.5, val_size=1664, signal=1.34,
+                            n=5201, avg_deg=83.5, val_size=1664, signal=4.29,
                             label_noise=0.688),
     "film": DatasetSpec("film", "hetero", "fixed", 5, 931, 0.22,
-                        n=7600, avg_deg=8.8, val_size=3648, signal=1.43,
+                        n=7600, avg_deg=8.8, val_size=3648, signal=4.47,
                         label_noise=0.725),
     "texas": DatasetSpec("texas", "hetero", "fixed", 5, 1703, 0.11,
                          n=183, avg_deg=3.4, val_size=59, signal=1.73,

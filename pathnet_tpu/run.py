@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--agg", type=str, default="attention",
                    choices=["attention", "mean", "sum"])
     p.add_argument("--quirk-compat", action="store_true")
+    p.add_argument("--remat", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="rematerialize the encode block under grad: auto "
+                        "(off when microbatched; on for large full-batch), "
+                        "on, off")
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"],
                    help="compute dtype for the encode pipeline (bfloat16 "
@@ -153,7 +158,7 @@ def main(argv=None):
             agg=args.agg, quirk_compat=args.quirk_compat,
             dropout=args.dropout, mesh=mesh,
             shard_features=args.shard_features,
-            compute_dtype=args.dtype,
+            compute_dtype=args.dtype, remat=args.remat,
             ckpt_dir=args.ckpt_dir if args.resume else None)
         mode = args.model_mode
     else:

@@ -343,7 +343,7 @@ def run_protocol(name: str, data_root: str = "data",
                  quirk_compat: bool = False, rounds: Optional[int] = None,
                  dropout: float = 0.7, ckpt_dir: Optional[str] = None,
                  verbose: bool = True, mesh=None, shard_features: bool = False,
-                 compute_dtype: str = "float32",
+                 compute_dtype: str = "float32", remat: str = "auto",
                  ) -> Tuple[Dict[str, Tuple[float, float]], list]:
     """The reference's multi-round CLI driver (PathNet_run.py:406-485).
 
@@ -387,9 +387,11 @@ def run_protocol(name: str, data_root: str = "data",
             y = jnp.asarray(g.labels)
             # remat only when a big batch runs un-microbatched (activations
             # O(B·wl·H) would exceed HBM); microbatched rounds run faster
-            # without it (results/grad_probe2.json)
+            # without it (results/grad_probe2.json).  "on"/"off" force it.
             need_remat = (cfg.microbatch is None
                           and g.n * num_walks * walk_len > 20_000_000)
+            if remat != "auto":
+                need_remat = remat == "on"
             spec = PaggSpec(feat_dim=g.features.shape[1], hidden=hidden,
                             out_dim=spec_d.num_classes, walk_len=walk_len,
                             variant=variant, rnn=rnn, agg=agg, dropout=dropout,

@@ -44,6 +44,7 @@ def main():
     ap.add_argument("--epochs", type=int, default=1000)
     ap.add_argument("--rounds", type=int, default=10)
     ap.add_argument("--microbatch", type=int, default=None)
+    ap.add_argument("--remat", type=str, default=None)
     args = ap.parse_args()
     names = args.names or DEFAULT_ORDER
 
@@ -57,6 +58,8 @@ def main():
         mb = args.microbatch or h.get("microbatch")
         if mb:
             cli += ["--microbatch", str(mb)]
+        if args.remat:
+            cli += ["--remat", args.remat]
         t0 = time.time()
         try:
             run_main(cli)

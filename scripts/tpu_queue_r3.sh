@@ -16,7 +16,8 @@ run() { echo "--- $* ($(date +%H:%M:%S))"; timeout 14400 "$@"; }
 # tier 0: bgp first — its payload calibration is final before the small
 # datasets' is, and it is the longest single run
 run python scripts/run_protocol_all.py bgp --epochs "$E" --rounds "$R"
-run python -m pathnet_tpu.run -data bgp --model mlp -e "$E" -r "$R" -hid 64
+# retry once with remat forced on if the first attempt crashed the worker
+[ -f results/result_for_bgp.txt ] ||   run python scripts/run_protocol_all.py bgp --epochs "$E" --rounds "$R" --remat on
 
 # tier 1: small headline datasets + quirk-compat pairs (minutes each)
 for d in cornell Nba texas wisconsin; do
