@@ -137,7 +137,16 @@ def sharded_train_step(mesh: Mesh, spec: PaggSpec, optimizer,
 
     def step(params, opt_state, X, y, ps: PathSampler, train_idx, val_idx, key):
         kp, kd = jax.random.split(key)
-        paths, dists = ps.sample(kp)
+        # Shard the walk at its *source*: constraining the start nodes makes
+        # GSPMD partition the whole sampling scan (each device walks only its
+        # node shard).  Constraining only the result leaves the scan
+        # replicated — every device samples all n nodes and keeps 1/d of the
+        # output, an O(d) waste measured as superlinear blowup in
+        # results/weak_scaling.json.  Values are unchanged (jax.random is
+        # value-semantic under partitioning).
+        starts = jax.lax.with_sharding_constraint(
+            jnp.arange(ps.sampler.n, dtype=jnp.int32), data_sharding)
+        paths, dists = ps.sample(kp, starts)
         paths = jax.lax.with_sharding_constraint(paths, data_sharding)
         dists = jax.lax.with_sharding_constraint(dists, data_sharding)
 

@@ -127,17 +127,23 @@ class CdfSampler:
     @staticmethod
     def from_device_graph(dg: DeviceGraph) -> "CdfSampler":
         cdf = jnp.cumsum(dg.prob, axis=1)
+        # Saturate the last REAL slot (and all padding) to 1.0: uniform draws
+        # live in [0, 1), so idx = sum(cdf < u) can never exceed deg-1 and a
+        # float row sum slightly < 1 still resolves to the last edge.  This
+        # bakes the degree clip into the table — the step needs no deg[cur]
+        # gather (a flat scalar gather costs ~41 ms/step at bgp scale on
+        # v5e, results/walk_probe.json — it was the r01->r02 regression).
+        col = jnp.arange(dg.max_deg, dtype=jnp.int32)[None, :]
+        last = jnp.maximum(dg.deg, 1)[:, None] - 1
+        cdf = jnp.where(col >= last, jnp.float32(1.0), cdf)
         return CdfSampler(n=dg.n, max_deg=dg.max_deg, nbr=dg.nbr, cdf=cdf,
                           deg=dg.deg)
 
     def step(self, cur: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
         u = jax.random.uniform(key, cur.shape)
         rows = self.cdf[cur]                       # [W, D]
+        # by construction cdf[v, deg[v]-1:] == 1.0 > u, so idx <= deg[v]-1
         idx = jnp.sum(rows < u[:, None], axis=1)
-        # clip to the node's real degree, not max_deg: for float row sums
-        # slightly < 1 a draw past the last real slot must resolve to the
-        # last *edge*, never a padding slot (which self-points)
-        idx = jnp.minimum(idx, jnp.maximum(self.deg[cur], 1) - 1)
         return jnp.take_along_axis(self.nbr[cur], idx[:, None], axis=1)[:, 0]
 
     def tree_flatten(self):

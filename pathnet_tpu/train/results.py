@@ -49,7 +49,13 @@ def append_results(results_dir: str, name: str, agg, config: dict,
         for k, v in config.items():
             f.write(f"{k}: {v}\n")
         f.write(line + "\n")
+    try:  # record the device the round actually ran on (evidence, not config)
+        import jax
+        device = str(jax.devices()[0])
+    except Exception:
+        device = "unknown"
     rec = {"ts": time.time(), "name": name, "config": config,
+           "device": device,
            "metrics": {k: {"mean": m, "std": s} for k, (m, s) in agg.items()}}
     with open(os.path.join(results_dir, "results.jsonl"), "a") as f:
         f.write(json.dumps(rec) + "\n")

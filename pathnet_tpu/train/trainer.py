@@ -157,12 +157,19 @@ def _run_round_scan(params, opt_state, X, y, ps: PathSampler,
     def epoch_step(carry, epoch):
         params, opt_state, best_val, best_cm, best_params = carry
         kp, kd = jax.random.split(jax.random.fold_in(base_key, epoch))
-        paths, dists = ps.sample(kp)
         if data_sharding is not None:
-            # SPMD: the per-epoch path tensor (and everything derived from
-            # its node axis — gathers, encode, logits) is node-partitioned
+            # SPMD: shard the walk at its source — constraining the start
+            # nodes partitions the whole sampling scan (each device walks
+            # only its node shard; constraining only the result leaves the
+            # scan replicated on every device).  Everything derived from the
+            # node axis — gathers, encode, logits — inherits the partition.
+            starts = jax.lax.with_sharding_constraint(
+                jnp.arange(ps.sampler.n, dtype=jnp.int32), data_sharding)
+            paths, dists = ps.sample(kp, starts)
             paths = jax.lax.with_sharding_constraint(paths, data_sharding)
             dists = jax.lax.with_sharding_constraint(dists, data_sharding)
+        else:
+            paths, dists = ps.sample(kp)
 
         if microbatch is None:
             grads = jax.grad(_loss_fn)(params,

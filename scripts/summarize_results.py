@@ -30,11 +30,14 @@ def main():
             rec = json.loads(line)
             cfg = rec["config"]
             model = cfg.get("model", "pathnet")
+            if cfg.get("quirk_compat"):
+                model += "+quirk"
             # keep only full-protocol rows (>=10 rounds, >=1000 epochs)
             if cfg.get("round", 0) < 10 or cfg.get("epoch", 0) < 1000:
                 continue
             acc = rec["metrics"]["accuracy"]
-            rows[(rec["name"], model)] = (acc["mean"], acc["std"], rec["ts"])
+            rows[(rec["name"], model)] = (acc["mean"], acc["std"], rec["ts"],
+                                          rec.get("device", "?"))
 
     names = sorted({k[0] for k in rows},
                    key=lambda n: list(REFERENCE).index(n) if n in REFERENCE else 99)
@@ -49,15 +52,28 @@ def main():
            "directional comparisons (PathNet vs MLP gap, heterophily robustness)",
            "are meaningful; absolute parity is not claimable without the data.",
            "",
-           "| dataset | ours PathNet | ours MLP | ref PathNet | ref MLP |",
-           "|---|---|---|---|---|"]
+           "| dataset | ours PathNet | ours MLP | ref PathNet | ref MLP | device |",
+           "|---|---|---|---|---|---|"]
+    quirk = []
     for name in names:
         pn = rows.get((name, "pathnet"))
         ml = rows.get((name, "mlp"))
         ref_pn, ref_ml = REFERENCE.get(name, (None, None))
         fmt = lambda r: f"{100*r[0]:.2f} ± {100*r[1]:.2f}" if r else "—"
         fr = lambda v: f"{v:.2f}" if v else "—"
-        out.append(f"| {name} | {fmt(pn)} | {fmt(ml)} | {fr(ref_pn)} | {fr(ref_ml)} |")
+        dev = pn[3] if pn and len(pn) > 3 else "?"
+        out.append(f"| {name} | {fmt(pn)} | {fmt(ml)} | {fr(ref_pn)} |"
+                   f" {fr(ref_ml)} | {dev} |")
+        q = rows.get((name, "pathnet+quirk"))
+        if q:
+            quirk.append((name, q, pn))
+    if quirk:
+        out += ["", "## quirk-compat (reference's walk-major path grouping,"
+                " PathNet_run.py:196-204) vs intended per-node semantics", "",
+                "| dataset | intended | quirk-compat |", "|---|---|---|"]
+        for name, q, pn in quirk:
+            fmt = lambda r: f"{100*r[0]:.2f} ± {100*r[1]:.2f}" if r else "—"
+            out.append(f"| {name} | {fmt(pn)} | {fmt(q)} |")
     out.append("")
     with open("RESULTS.md", "w") as f:
         f.write("\n".join(out) + "\n")
