@@ -77,7 +77,12 @@ def main():
         t1 = t1 or dt
         out["points"].append({"devices": d, "n_nodes": n,
                               "step_ms": round(dt * 1e3, 1),
-                              "vs_d1": round(dt / t1, 2)})
+                              "vs_d1": round(dt / t1, 2),
+                              # shared-socket ideal is d x t1 (total work
+                              # grows with d but cores don't); >1.0 = added
+                              # collective/replication overhead
+                              "overhead_vs_shared_socket_ideal":
+                                  round(dt / (t1 * d), 2)})
         print(out["points"][-1], flush=True)
     os.makedirs("results", exist_ok=True)
     with open("results/weak_scaling.json", "w") as f:
