@@ -152,6 +152,26 @@ def load_structure(name: str, data_root: str = "data") -> Graph:
     path = _find_edge_file(spec, data_root)
     if path is not None:
         g = Graph.from_edge_input(path, name=name)
+        # Reference-generated probability columns are broken on disconnected
+        # graphs (one *global* eigenvector, compute_merw.py:111): negative
+        # records and non-stochastic rows — cora_nsl.in (516 neg records,
+        # 78 components), citeseer.in (656 neg, 438 comps), Nba.in (minor
+        # comps).  MERW is defined per component; recompute it properly
+        # (recovering the integer edge weights the file was generated from,
+        # so valid rows reproduce exactly: Nba/citeseer p99 rel err < 1e-4)
+        # instead of feeding garbage CDFs to the sampler.
+        key = g.src.astype(np.int64) * g.n + g.dst.astype(np.int64)
+        _, first = np.unique(key, return_index=True)   # files duplicate records
+        rows = np.zeros(g.n)
+        np.add.at(rows, g.src[first], g.prob[first])
+        cnt = np.bincount(g.src[first], minlength=g.n)
+        if (g.prob < 0).any() or ((cnt > 0).any() and (
+                np.abs(rows[cnt > 0] - 1.0).max() > 1e-2)):
+            from ..merw import merw_graph_per_component, recover_integer_weights
+            w = recover_integer_weights(g, g.prob)
+            g = merw_graph_per_component(
+                Graph(n=g.n, src=g.src, dst=g.dst,
+                      prob=np.ones(len(g.src)), name=name), weights=w)
         return g
     if name in GEOMGCN_DATASETS:
         gp = _geomgcn_paths(name, data_root)

@@ -3,6 +3,7 @@ from .merw import (
     merw_record_probs,
     merw_padded_probs,
     merw_graph,
+    merw_graph_per_component,
     stationary_distribution,
     recover_integer_weights,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "merw_record_probs",
     "merw_padded_probs",
     "merw_graph",
+    "merw_graph_per_component",
     "stationary_distribution",
     "recover_integer_weights",
 ]

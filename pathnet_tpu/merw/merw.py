@@ -184,6 +184,99 @@ def merw_graph(g: Graph, weights: Optional[np.ndarray] = None,
                  features=g.features, labels=g.labels, name=g.name)
 
 
+def _log_psi_power(a: sp.csr_matrix, iters: int = 5000, tol: float = 1e-12
+                   ) -> Tuple[np.ndarray, float]:
+    """Principal eigenvector in LOG space: (log psi, lambda).
+
+    The Perron vector of a graph with spectral radius lambda decays like
+    lambda**-dist(core) — down to 1e-19 and beyond on real graphs (cora).
+    Any linear-space solver (LAPACK eigh, ARPACK, plain power iteration)
+    computes psi to ~1e-15 *absolute*, so the decay tail is pure noise and
+    the assembled MERW rows there are garbage — this is precisely the defect
+    in the reference's checked-in probability files.  Iterating
+    ``log v <- row_logsumexp(log A + log v)`` keeps full relative precision
+    at every scale.  A ``+I`` shift makes bipartite components converge
+    (same eigenvectors, lambda+1).
+    """
+    n = a.shape[0]
+    rows = np.repeat(np.arange(n), np.diff(a.indptr))
+    logA = np.log(a.data.astype(np.float64))
+    logv = np.zeros(n)
+    loglam = 0.0
+    for _ in range(iters):
+        contrib = np.concatenate([logA + logv[a.indices], logv])  # +I shift
+        r = np.concatenate([rows, np.arange(n)])
+        mx = np.full(n, -np.inf)
+        np.maximum.at(mx, r, contrib)
+        s = np.zeros(n)
+        np.add.at(s, r, np.exp(contrib - mx[r]))
+        new = mx + np.log(s)
+        delta = new - logv
+        loglam = float(np.median(delta))
+        logv = new - new.max()
+        if float(np.ptp(delta)) < tol:
+            break
+    return logv, float(np.exp(loglam) - 1.0)
+
+
+def merw_graph_per_component(g: Graph, weights: Optional[np.ndarray] = None,
+                             iters: int = 3000, tol: float = 1e-6,
+                             dense_max: int = 4096) -> Graph:
+    """MERW of a disconnected graph — computed per connected component.
+
+    The reference computes ONE global ARPACK eigenvector
+    (compute_merw.py:111) and assembles P from it even when the graph is
+    disconnected; on minor components psi is ~0 / sign-flipped noise and the
+    emitted probability columns go negative with rows that no longer sum
+    to 1 — the checked-in ``cora_nsl.in`` / ``citeseer.in`` exhibit exactly
+    this (516 / 656 negative records, row-sum deviations up to 93).  MERW of
+    a disconnected graph is defined per component; each component here gets
+    its own principal eigenpair, yielding a proper stochastic matrix
+    everywhere.  Components up to ``dense_max`` nodes use a float64 host
+    ``eigh`` (avoids one device compile per component shape); larger ones
+    use the on-device power iteration.
+    """
+    a = _adjacency_csr(g, weights, binary=weights is None)
+    ncomp, comp = sp.csgraph.connected_components(a, directed=False)
+    if ncomp == 1:
+        return merw_graph(g, weights=weights, iters=iters, tol=tol)
+    probs = np.zeros(len(g.src))
+    for c in range(ncomp):
+        nodes = np.flatnonzero(comp == c)
+        m = (comp[g.src] == c) & (comp[g.dst] == c)
+        if not m.any():
+            continue                       # isolated node with no records
+        remap = np.zeros(g.n, np.int64)
+        remap[nodes] = np.arange(len(nodes))
+        sub = Graph(n=len(nodes), src=remap[g.src[m]].astype(np.int32),
+                    dst=remap[g.dst[m]].astype(np.int32),
+                    prob=np.ones(int(m.sum())))
+        w_sub = weights[m] if weights is not None else None
+        asub = _adjacency_csr(sub, w_sub, binary=w_sub is None)
+        logpsi, lam = _log_psi_power(asub, iters=max(iters, 2000))
+        if lam <= 0:                       # edgeless component (paranoia)
+            continue
+        # P[u,.] = normalize(A[u,.] * psi), assembled from LOG psi
+        # differences — neighbor psi ratios are O(lambda*deg), so this stays
+        # fully precise even where psi itself underflows to 1e-300.
+        key_s = sub.src.astype(np.int64) * sub.n + sub.dst.astype(np.int64)
+        _, inv_s = np.unique(key_s, return_inverse=True)
+        data = w_sub if w_sub is not None else np.ones(len(sub.src))
+        a_uv = (np.bincount(inv_s, weights=data)[inv_s] if w_sub is not None
+                else np.ones(len(sub.src)))
+        lp = np.log(a_uv) + logpsi[sub.dst]
+        # segmented logsumexp over rows for exact normalization
+        mx = np.full(sub.n, -np.inf)
+        np.maximum.at(mx, sub.src, lp)
+        _, sfirst = np.unique(key_s, return_index=True)
+        ssum = np.zeros(sub.n)
+        np.add.at(ssum, sub.src[sfirst],
+                  np.exp(lp[sfirst] - mx[sub.src[sfirst]]))
+        probs[m] = np.exp(lp - mx[sub.src] - np.log(ssum[sub.src]))
+    return Graph(n=g.n, src=g.src, dst=g.dst, prob=probs,
+                 features=g.features, labels=g.labels, name=g.name)
+
+
 def recover_integer_weights(g: Graph, probs: np.ndarray, max_weight: int = 8
                             ) -> np.ndarray:
     """Recover integer adjacency multiplicities from a MERW probability column.
@@ -193,7 +286,33 @@ def recover_integer_weights(g: Graph, probs: np.ndarray, max_weight: int = 8
     the binary-adjacency eigenpair as a first-order proxy.  Used to
     round-trip reference ``.in`` files whose source adjacency is lost.
     """
-    psi, lam = principal_eigenpair(g, binary=True)
-    psi = np.asarray(psi, np.float64)
-    est = probs * float(lam) * psi[g.src] / np.maximum(psi[g.dst], 1e-30)
-    return np.clip(np.round(est), 1, max_weight).astype(np.float64)
+    # psi-FREE estimator: P[u,v]*P[v,u] = (A[u,v]/lam)^2, so the eigenvector
+    # (including its noise-dominated decay tail — see _log_psi_power) cancels
+    # exactly.  A is integer and mostly 1, so lam = 1/median(sqrt(prod)).
+    # A psi-ratio estimator (probs*lam*psi_u/psi_v) hallucinates weights
+    # from tail noise, and a few spurious heavy edges relocalize the
+    # eigenvector and corrupt *every* probability (observed on cora).
+    s64, d64 = g.src.astype(np.int64), g.dst.astype(np.int64)
+    canon = np.minimum(s64, d64) * g.n + np.maximum(s64, d64)
+    dkey = s64 * g.n + d64
+    _, dfirst = np.unique(dkey, return_index=True)   # drop duplicate records
+    _, inv = np.unique(canon, return_inverse=True)
+    inv_u = inv[dfirst]
+    p_u = np.abs(probs[dfirst])                      # sign flips are psi noise
+    good = p_u > 1e-12
+    sumlog = np.bincount(inv_u[good], weights=np.log(p_u[good]),
+                         minlength=inv.max() + 1)
+    ndir = np.bincount(inv_u[good], minlength=inv.max() + 1)
+    selfloop = np.zeros(inv.max() + 1, bool)
+    selfloop[inv[g.src == g.dst]] = True
+    # sqrt(P_uv*P_vu) for 2-directional pairs; P itself for self-loops
+    sqrtprod = np.where(selfloop, np.exp(sumlog),
+                        np.exp(0.5 * sumlog))
+    ok = (ndir == 2) | (selfloop & (ndir == 1))
+    lam_f = 1.0 / np.median(sqrtprod[ok & ~selfloop]) if (
+        ok & ~selfloop).any() else 1.0
+    a = lam_f * sqrtprod
+    w_pair = np.where(ok & (np.abs(a - np.round(a)) < 0.1)
+                      & (np.round(a) >= 1),
+                      np.round(a), 1.0)
+    return np.clip(w_pair[inv], 1, max_weight).astype(np.float64)

@@ -41,6 +41,12 @@ bgp_try() {
   run python -m pathnet_tpu.run -data bgp -e "$E" -r "$R" -hid 64 \
       --microbatch "$1" --scan-chunk "$2" --remat "$3" --resume
 }
+# Nba's tier-1 run raced an intermediate version of the probability-column
+# recovery (asymmetric recovered weights); rerun on the final product-based
+# recovery so the committed row reflects the shipped code.
+run python -m pathnet_tpu.run -data Nba -e "$E" -r "$R" -hid 256
+run python -m pathnet_tpu.run -data Nba --model mlp -e "$E" -r "$R" -hid 256
+
 bgp_try 8192 20 on
 bgp_try 4096 10 on
 bgp_try 2048 5 on
