@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -404,6 +405,7 @@ def run_protocol(name: str, data_root: str = "data",
                             variant=variant, rnn=rnn, agg=agg, dropout=dropout,
                             quirk_compat=quirk_compat,
                             compute_dtype=compute_dtype, remat=need_remat)
+        t_round = time.time()
         res = run_round(X, y, ps, spec, cfg, train_mask, val_mask, test_mask,
                         spec_d.num_classes, seed=cfg.seed + round_i,
                         keep_params=ckpt_dir is not None, mesh=mesh,
@@ -413,6 +415,7 @@ def run_protocol(name: str, data_root: str = "data",
             res.best_params = None
         if verbose:
             print(f"round {round_i}: val={res.best_val_acc:.4f} "
-                  f"acc={res.metrics['accuracy']:.4f}")
+                  f"acc={res.metrics['accuracy']:.4f} "
+                  f"[{time.time() - t_round:.1f}s]", flush=True)
         results.append(res)
     return aggregate_rounds(results), results
