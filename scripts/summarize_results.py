@@ -36,8 +36,14 @@ def main():
             if cfg.get("round", 0) < 10 or cfg.get("epoch", 0) < 1000:
                 continue
             acc = rec["metrics"]["accuracy"]
+            # rows produced before the final stand-in calibration lack the
+            # round-3 'remat' config key — flag them (their payloads differ
+            # from what the current generator produces)
+            dev = rec.get("device", "?")
+            if "remat" not in cfg:
+                dev += " (r2-era payload)"
             rows[(rec["name"], model)] = (acc["mean"], acc["std"], rec["ts"],
-                                          rec.get("device", "?"))
+                                          dev)
 
     names = sorted({k[0] for k in rows},
                    key=lambda n: list(REFERENCE).index(n) if n in REFERENCE else 99)
