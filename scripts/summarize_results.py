@@ -60,6 +60,9 @@ def main():
            "Reference columns are the paper's numbers on the *real* payloads —",
            "directional comparisons (PathNet vs MLP gap, heterophily robustness)",
            "are meaningful; absolute parity is not claimable without the data.",
+           "Where PathNet == MLP (Electronics, citeseer), the ceiling table",
+           "below shows the stand-in itself carries little structure signal",
+           "beyond features — the pipeline runs at full scale either way.",
            "",
            "| dataset | ours PathNet | ours MLP | ref PathNet | ref MLP | device |",
            "|---|---|---|---|---|---|"]

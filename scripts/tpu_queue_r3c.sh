@@ -78,7 +78,8 @@ el_try() {
       --microbatch "$1" --scan-chunk "$2" --remat "$3" --resume
 }
 el_try 4096 20 on
-run python -m pathnet_tpu.run -data Electronics --model mlp -e "$E" -r "$R" -hid 64
+has_row Electronics mlp || \
+  run python -m pathnet_tpu.run -data Electronics --model mlp -e "$E" -r "$R" -hid 64
 for d in chameleon film squirrel Dblp; do
   run python -m pathnet_tpu.run -data "$d" --model mlp -e "$E" -r "$R" -hid 64
 done
