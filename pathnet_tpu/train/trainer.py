@@ -363,7 +363,7 @@ def run_protocol(name: str, data_root: str = "data",
     skipped on re-run (resume — absent from the reference, SURVEY.md §5).
     """
     from ..data.registry import DATASETS, load_dataset
-    from ..merw import merw_graph
+    from ..merw import merw_graph_per_component
     from .checkpoint import load_round, save_round
     from .results import aggregate_rounds
 
@@ -389,7 +389,10 @@ def run_protocol(name: str, data_root: str = "data",
             name, data_root, round_i)
         if ps is None:
             if kind == "merw" and not (g.prob < 1.0).any():
-                g = merw_graph(g)
+                # per-component: SBM stand-ins can have isolated nodes, and
+                # a global eigenvector yields psi=0 -> NaN probabilities on
+                # minor components (the reference preprocessing's own bug)
+                g = merw_graph_per_component(g)
             ps = PathSampler.build(g, num_walks, walk_len, kind=kind)
             X = jnp.asarray(g.features)
             y = jnp.asarray(g.labels)
