@@ -123,6 +123,16 @@ DATASETS: Dict[str, DatasetSpec] = {
 }
 
 
+def payload_fingerprint(spec: DatasetSpec) -> str:
+    """Short stable hash of every knob that shapes the synthetic stand-in
+    payload.  Recorded in result rows (run.py) so stale artifacts produced
+    under an earlier calibration are detectable (VERDICT r3 missing #5)."""
+    key = (f"{spec.name}:{spec.num_classes}:{spec.feat_dim}:{spec.homophily}"
+           f":{spec.n}:{spec.avg_deg}:{spec.signal}:{spec.structure}"
+           f":{spec.offdiag}:{spec.label_noise}")
+    return format(zlib.crc32(key.encode()) & 0xFFFFFFFF, "08x")
+
+
 def _stable_seed(name: str) -> int:
     """Process-stable seed for synthetic stand-ins (``hash(str)`` is salted
     per interpreter, which made stand-ins irreproducible across runs)."""
@@ -171,7 +181,8 @@ def load_structure(name: str, data_root: str = "data") -> Graph:
             w = recover_integer_weights(g, g.prob)
             g = merw_graph_per_component(
                 Graph(n=g.n, src=g.src, dst=g.dst,
-                      prob=np.ones(len(g.src)), name=name), weights=w)
+                      prob=np.ones(len(g.src)), name=name), weights=w,
+                force_log=True)
         return g
     if name in GEOMGCN_DATASETS:
         gp = _geomgcn_paths(name, data_root)

@@ -221,7 +221,8 @@ def _log_psi_power(a: sp.csr_matrix, iters: int = 5000, tol: float = 1e-12
 
 def merw_graph_per_component(g: Graph, weights: Optional[np.ndarray] = None,
                              iters: int = 3000, tol: float = 1e-6,
-                             dense_max: int = 4096) -> Graph:
+                             dense_max: int = 4096,
+                             force_log: bool = False) -> Graph:
     """MERW of a disconnected graph — computed per connected component.
 
     The reference computes ONE global ARPACK eigenvector
@@ -238,7 +239,12 @@ def merw_graph_per_component(g: Graph, weights: Optional[np.ndarray] = None,
     """
     a = _adjacency_csr(g, weights, binary=weights is None)
     ncomp, comp = sp.csgraph.connected_components(a, directed=False)
-    if ncomp == 1:
+    if ncomp == 1 and not force_log:
+        # single-component fast path: float32 device power iteration.  Its
+        # absolute-precision decay tail is fine for *sampling* (tail probs
+        # round to 0), but callers recomputing broken probability columns
+        # must pass force_log=True to run the log-space solver even when
+        # connected (ADVICE r3 #3).
         return merw_graph(g, weights=weights, iters=iters, tol=tol)
     probs = np.zeros(len(g.src))
     for c in range(ncomp):
@@ -299,7 +305,14 @@ def recover_integer_weights(g: Graph, probs: np.ndarray, max_weight: int = 8
     _, inv = np.unique(canon, return_inverse=True)
     inv_u = inv[dfirst]
     p_u = np.abs(probs[dfirst])                      # sign flips are psi noise
-    good = p_u > 1e-12
+    # only trust a pair's product when BOTH endpoint rows are approximately
+    # stochastic (the registry's row-sum test): a pair whose two directional
+    # records are both psi-noise can coincidentally produce a near-integer
+    # a>=1 and be assigned a spurious heavy weight (ADVICE r3 #2)
+    rowsum = np.zeros(g.n)
+    np.add.at(rowsum, g.src[dfirst], probs[dfirst])
+    row_ok = np.abs(rowsum - 1.0) < 1e-2
+    good = (p_u > 1e-12) & row_ok[g.src[dfirst]] & row_ok[g.dst[dfirst]]
     sumlog = np.bincount(inv_u[good], weights=np.log(p_u[good]),
                          minlength=inv.max() + 1)
     ndir = np.bincount(inv_u[good], minlength=inv.max() + 1)

@@ -199,7 +199,12 @@ def main(argv=None):
         agg = aggregate_rounds(results)
         mode = args.model
 
-    line = append_results(args.results_dir, name, agg, vars(args), mode)
+    from .data.registry import DATASETS as _DS, payload_fingerprint
+
+    config = dict(vars(args))
+    if name in _DS:
+        config["payload"] = payload_fingerprint(_DS[name])
+    line = append_results(args.results_dir, name, agg, config, mode)
     print(line)
     print(f"total {time.time() - t0:.1f}s")
 

@@ -49,9 +49,13 @@ def append_results(results_dir: str, name: str, agg, config: dict,
         for k, v in config.items():
             f.write(f"{k}: {v}\n")
         f.write(line + "\n")
-    try:  # record the device the round actually ran on (evidence, not config)
-        import jax
-        device = str(jax.devices()[0])
+    try:  # record the device the round actually ran on (evidence, not
+        # config).  Only consult jax if it is already imported — querying
+        # devices here would otherwise *initialize* a backend (slow /
+        # process-grabbing on TPU) as a side effect of writing results.
+        import sys as _sys
+        jax_mod = _sys.modules.get("jax")
+        device = str(jax_mod.devices()[0]) if jax_mod is not None else "unknown"
     except Exception:
         device = "unknown"
     rec = {"ts": time.time(), "name": name, "config": config,

@@ -39,10 +39,24 @@ def main():
     out_path = f"results/comparison_{name}.json"
     os.makedirs("results", exist_ok=True)
     # resume: skip models already recorded (a 150-compile CPU process can
-    # die to JIT address-space exhaustion; rerunning continues from here)
+    # die to JIT address-space exhaustion; rerunning continues from here).
+    # The resume key includes (platform, rounds, epochs): a stale artifact
+    # from a different platform or protocol is regenerated, not blessed
+    # (the r3 TPU sweep silently kept a CPU cornell artifact — VERDICT r3
+    # missing #1 / weak #7).
     done = {}
     if os.path.exists(out_path):
-        done = json.load(open(out_path)).get("accuracy", {})
+        prev = json.load(open(out_path))
+        cur_platform = jax.devices()[0].platform
+        if (prev.get("platform") == cur_platform
+                and prev.get("rounds") == rounds
+                and prev.get("epochs") == epochs):
+            done = prev.get("accuracy", {})
+        else:
+            print(f"resume: discarding stale artifact "
+                  f"(platform={prev.get('platform')} rounds={prev.get('rounds')} "
+                  f"epochs={prev.get('epochs')} vs current {cur_platform}/"
+                  f"{rounds}/{epochs})", file=sys.stderr)
 
     def flush(rows):
         with open(out_path, "w") as f:

@@ -22,8 +22,13 @@ REFERENCE = {
     "chameleon": (None, 46.36),
 }
 
+CURRENT_FP = {}
+
 
 def main():
+    from pathnet_tpu.data.registry import DATASETS, payload_fingerprint
+    global CURRENT_FP
+    CURRENT_FP = {n: payload_fingerprint(s) for n, s in DATASETS.items()}
     rows = {}
     with open("results/results.jsonl") as f:
         for line in f:
@@ -39,14 +44,29 @@ def main():
             acc = rec["metrics"]["accuracy"]
             # rows produced before the final stand-in calibration lack the
             # round-3 'remat' config key — flag them (their payloads differ
-            # from what the current generator produces)
+            # from what the current generator produces); rows whose recorded
+            # payload fingerprint differs from the current registry are
+            # likewise stale
             dev = rec.get("device", "?")
+            stale = False
             if "remat" not in cfg:
                 dev += " (r2-era payload)"
+                stale = True
+            fp = cfg.get("payload")
+            cur_fp = CURRENT_FP.get(rec["name"])
+            if fp is not None and cur_fp is not None and fp != cur_fp:
+                dev += " (stale payload)"
+                stale = True
             if cfg.get("round", 10) < 10:
                 dev += f" ({cfg['round']} rounds)"
-            rows[(rec["name"], model)] = (acc["mean"], acc["std"], rec["ts"],
-                                          dev)
+            # prefer: current payload > more rounds > later timestamp (an
+            # older full 10-round row must not be displaced by a later
+            # 4-round rerun — ADVICE r3 #1)
+            key = (rec["name"], model)
+            cand = (not stale, cfg.get("round", 0), rec["ts"])
+            if key in rows and rows[key][4] >= cand:
+                continue
+            rows[key] = (acc["mean"], acc["std"], rec["ts"], dev, cand)
 
     names = sorted({k[0] for k in rows},
                    key=lambda n: list(REFERENCE).index(n) if n in REFERENCE else 99)
