@@ -219,17 +219,26 @@ def pagg_forward(params, X: jnp.ndarray, paths: jnp.ndarray,
         X (mode "x" — gathered rows are projected here, so the gather has no
         VJP scatter; see PaggSpec.gather_mode)."""
         if cdt is not None:
-            if gm == "h":
-                table = table.astype(cdt)
+            # cast the gather table itself: in "x" mode the [B·wl, F] raw-X
+            # gather is the grad phase's dominant HBM stream — gathering
+            # bf16 rows halves it (the f32 master X is untouched; only this
+            # epoch-invariant view is cast)
+            table = table.astype(cdt)
             params = dict(params)
             for k in ("dist", "rnn"):
                 params[k] = jax.tree_util.tree_map(
                     lambda x: x.astype(cdt), params[k])
         nei = gather_fn(table, paths)                # [T, nw, wl, H|F]
         if gm == "x":
-            nei = project(jax.lax.stop_gradient(nei))
+            nei = jax.lax.stop_gradient(nei)
             if cdt is not None:
-                nei = nei.astype(cdt)
+                w0 = params["fc0"]["w"].astype(cdt)
+                b0 = params["fc0"]["b"].astype(cdt)
+                nei = nei @ w0 + b0
+                if spec.variant == "homo":
+                    nei = jax.nn.relu(nei)
+            else:
+                nei = project(nei)
         if spec.variant == "hetero":
             seq_in = jnp.flip(nei, axis=2)
             d_in = jnp.flip(dists, axis=2)

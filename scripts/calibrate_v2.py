@@ -132,11 +132,13 @@ class Payload:
                            self.n2.astype(np.float32) * 3.0])
             o = logistic_probe(F, self.y_obs, tr, va, te,
                                self.spec.num_classes)
+            om = logistic_probe(F[:, self.spec.num_classes:], self.y_obs,
+                                tr, va, te, self.spec.num_classes)
             fa.append(f)
             # the oracle sees a superset of the feat probe's information, so
-            # per-round it is at least the feat accuracy (GD-path noise on
-            # tiny test sets can rank them otherwise)
-            oa.append(max(o, f))
+            # per-round it is at least max(feat, mixes-only) (GD-path noise
+            # on tiny test sets can rank them otherwise)
+            oa.append(max(o, om, f))
         return float(np.mean(fa)), float(np.mean(oa))
 
 
@@ -146,26 +148,60 @@ def _has_real(name):
                                        "out1_graph_edges.txt"))
 
 
-def calibrate(name):
+def _fit_signal(p, mlp):
+    lo, hi = 0.2, 40.0
+    for _ in range(11):
+        mid = 0.5 * (lo + hi)
+        f, _ = p.measure(mid)
+        if f < mlp:
+            lo = mid
+        else:
+            hi = mid
+    return 0.5 * (lo + hi)
+
+
+def calibrate(name, mode="noise", rho_override=None):
+    """``mode="noise"``: label-flip ceiling at PathNet_row+margin, escalate
+    structure until the oracle clears the floor.  ``mode="clean"``: no
+    flips; the ceiling emerges from the field itself — bisect ``structure``
+    so the oracle lands at max(MLP+floor, PathNet anchor).  The clean mode
+    exists because uniform flips at ρ>0.5 destroy neighbor-label
+    information entirely (film/squirrel: oracle == feat at any structure)."""
     spec = DATASETS[name]
     pn, mlp = ANCHORS[name]
     C = spec.num_classes
+    if mode == "clean":
+        rho = 0.0
+        oracle_target = max(mlp + ORACLE_FLOOR + 0.005, pn)
+        offdiag = spec.offdiag
+        s_lo, s_hi = 0.0, 0.97
+        result = None
+        for it in range(6):
+            structure = 0.5 * (s_lo + s_hi)
+            p = Payload(name, structure, offdiag, rho)
+            sig = _fit_signal(p, mlp)
+            f, o = p.measure(sig)
+            result = dict(signal=round(sig, 2), structure=round(structure, 3),
+                          offdiag=offdiag, label_noise=0.0,
+                          feat=round(f, 4), oracle=round(o, 4),
+                          h_obs=round(p.h_obs, 3), ceiling=None)
+            print(f"  clean it{it}: {result}", flush=True)
+            if o < oracle_target:
+                s_lo = structure
+            else:
+                s_hi = structure
+        print(f"{name}: {json.dumps(result)}", flush=True)
+        return result
+
     ceiling = min(0.995, pn + CEILING_MARGIN)
-    rho = float(np.clip((1.0 - ceiling) / (1.0 - 1.0 / C), 0.0, 0.8))
+    rho = rho_override if rho_override is not None else float(
+        np.clip((1.0 - ceiling) / (1.0 - 1.0 / C), 0.0, 0.8))
     structure = max(spec.structure, 0.9)
     offdiag = spec.offdiag
     result = None
     for attempt in range(3):
         p = Payload(name, structure, offdiag, rho)
-        lo, hi = 0.2, 40.0
-        for _ in range(11):
-            mid = 0.5 * (lo + hi)
-            f, _ = p.measure(mid)
-            if f < mlp:
-                lo = mid
-            else:
-                hi = mid
-        sig = 0.5 * (lo + hi)
+        sig = _fit_signal(p, mlp)
         f, o = p.measure(sig)
         result = dict(signal=round(sig, 2), structure=structure,
                       offdiag=offdiag, label_noise=round(rho, 3),
@@ -187,13 +223,23 @@ def calibrate(name):
 
 
 def main():
-    names = sys.argv[1:] or list(ANCHORS)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    mode = "clean" if "--clean" in sys.argv else "noise"
+    rho = None
+    for a in sys.argv[1:]:
+        if a.startswith("--rho="):
+            rho = float(a.split("=", 1)[1])
+    names = args or list(ANCHORS)
     out = {}
     for name in names:
-        print(f"== {name}", flush=True)
-        out[name] = calibrate(name)
-    with open("results/calibration_v2.json", "w") as f:
-        json.dump(out, f, indent=2)
+        print(f"== {name} ({mode})", flush=True)
+        out[name] = calibrate(name, mode=mode, rho_override=rho)
+    path = "results/calibration_v2.json"
+    import os
+    prev = json.load(open(path)) if os.path.exists(path) else {}
+    prev.update(out)
+    with open(path, "w") as f:
+        json.dump(prev, f, indent=2)
 
 
 if __name__ == "__main__":

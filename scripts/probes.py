@@ -35,14 +35,22 @@ def centroid_scores(X: np.ndarray, y: np.ndarray, train: np.ndarray,
 
 def logistic_probe(F: np.ndarray, y: np.ndarray, train: np.ndarray,
                    val: np.ndarray, test: np.ndarray, num_classes: int,
-                   steps: int = 400, lr: float = 0.5,
+                   steps: int = 600, lr: float = 0.5,
                    weight_decay: float = 1e-4) -> float:
     """Multinomial logistic regression on feature matrix ``F`` (already
-    reduced to a few dims).  Full-batch GD with momentum; returns test
-    accuracy at the best-validation step (the protocol's model selection)."""
+    reduced to a few dims).  Columns are standardized first (heterogeneous
+    blocks — centroid scores vs class mixes — otherwise condition the GD so
+    badly that the joint probe lands *below* its own sub-blocks; measured on
+    citeseer: joint 0.672 vs mixes-only 0.752).  Full-batch GD with
+    momentum; returns test accuracy at the best-validation step (the
+    protocol's model selection)."""
     F = np.asarray(F, np.float64)
+    mu = F[train].mean(0, keepdims=True)
+    sd = F[train].std(0, keepdims=True)
+    F = (F - mu) / np.maximum(sd, 1e-6)
     n, d = F.shape
     Ftr, ytr = F[train], y[train]
+    Fva = F[val]
     W = np.zeros((d, num_classes))
     b = np.zeros(num_classes)
     mW = np.zeros_like(W)
@@ -61,8 +69,8 @@ def logistic_probe(F: np.ndarray, y: np.ndarray, train: np.ndarray,
         mb = 0.9 * mb + gb
         W -= lr * mW
         b -= lr * mb
-        if t % 20 == 0 or t == steps - 1:
-            va = float(((F[val] @ W + b).argmax(1) == y[val]).mean())
+        if t % 5 == 0 or t == steps - 1:
+            va = float(((Fva @ W + b).argmax(1) == y[val]).mean())
             if va > best_val:
                 best_val, best = va, (W.copy(), b.copy())
     W, b = best
