@@ -68,58 +68,70 @@ class DatasetSpec:
     label_noise: float = 0.0
 
 
-# ``signal`` values produced by scripts/calibrate_standins.py (ridge probe
-# == documented MLP accuracy; see the script header).  Measured stand-in
-# edge homophily (self-loops excluded): cornell 0.300, cora 0.814,
-# citeseer 0.793, Nba 0.541 (the real Nba graph admits a 0.39 cut that the
-# annealed stand-in labeling cannot reach — documented drift), SBM stand-ins
-# exact by construction.
+# Knob values produced by scripts/calibrate_v2.py (r4 recalibration;
+# results/calibration_v2.json carries the measured feat/oracle/homophily of
+# every choice).  Anchors: centroid-score logistic probe on features ==
+# documented MLP row; probe given observed 1/2-hop neighbor class mixes
+# (the structure oracle) >= feat + 3 pts wherever the graph supports it;
+# label-noise ceiling ~ documented PathNet row + 5.  The r3 values were
+# mis-anchored by sketch-biased ridge probes (citeseer feat overshot the
+# MLP row by 10 pts; film/squirrel undershot and carried zero structure
+# signal).  Datasets with label_noise=0 use the "clean" mode: the ceiling
+# emerges from a deliberately weak compatibility structure instead of
+# flips (uniform flips at rho>0.5 destroy neighbor-label information
+# entirely).  Measured homophily drifts (observed vs documented):
+# cornell 0.336/0.30, cora 0.759/0.81, citeseer 0.677/0.74,
+# Nba 0.452/0.39 (the flip noise needed to cap the dense-graph oracle
+# pushes observed homophily toward 0.5 — the real 0.39 cut is reachable
+# only noise-free), others within 0.01.
 DATASETS: Dict[str, DatasetSpec] = {
     "cornell": DatasetSpec("cornell", "hetero", "fixed", 5, 1703, 0.30,
-                           edge_file="cornell.in", val_size=59, signal=1.45,
-                           structure=0.97, offdiag="matching",
-                           label_noise=0.083),
+                           edge_file="cornell.in", val_size=59, signal=1.51,
+                           structure=0.85, offdiag="matching",
+                           label_noise=0.0),
     "cora": DatasetSpec("cora", "homo", "fixed", 7, 1433, 0.81,
-                        edge_file="cora_nsl.in", val_size=1019, signal=2.94,
-                        label_noise=0.102),
+                        edge_file="cora_nsl.in", val_size=1019, signal=3.2,
+                        structure=0.9, label_noise=0.108),
     "citeseer": DatasetSpec("citeseer", "homo", "fixed", 6, 3703, 0.74,
                             edge_file="citeseer.in", val_size=1879,
-                            signal=5.41, label_noise=0.155),
+                            signal=4.25, structure=0.9, label_noise=0.204),
     "Nba": DatasetSpec("Nba", "hetero", "random", 2, 96, 0.39,
-                       edge_file="Nba.in", signal=1.03, label_noise=0.20),
+                       edge_file="Nba.in", signal=1.43, structure=0.9,
+                       label_noise=0.35),
     "pubmed": DatasetSpec("pubmed", "homo", "fixed", 3, 500, 0.80,
                           n=19717, avg_deg=4.5, val_size=6310, large=True,
                           signal=4.03, label_noise=0.136),
     "bgp": DatasetSpec("bgp", "hetero", "random", 8, 287, 0.37,
-                       n=63977, avg_deg=10.0, large=True, signal=4.64,
-                       label_noise=0.369),
+                       n=63977, avg_deg=10.0, large=True, signal=4.06,
+                       structure=0.9, label_noise=0.335),
     "Electronics": DatasetSpec("Electronics", "hetero", "random", 10, 8669, 0.25,
-                               n=42318, avg_deg=8.0, large=True, signal=12.76,
-                               label_noise=0.234),
+                               n=42318, avg_deg=8.0, large=True, signal=4.45,
+                               structure=0.9, label_noise=0.2),
     "Dblp": DatasetSpec("Dblp", "hetero", "random", 4, 334, 0.45,
-                        n=17716, avg_deg=6.0, large=True, signal=3.19,
-                        label_noise=0.240),
+                        n=17716, avg_deg=6.0, large=True, signal=3.47,
+                        structure=0.9, label_noise=0.307),
     # Geom-GCN datasets carried by the reference dataset.json (val sizes
     # from there; scale/homophily from the Geom-GCN/H2GCN papers).  Loaded
     # from <root>/geomgcn/<name>/out1_* when present (formats.load_geomgcn),
     # else SBM stand-ins.
     "chameleon": DatasetSpec("chameleon", "hetero", "fixed", 5, 2325, 0.23,
-                             n=2277, avg_deg=31.7, val_size=729, signal=3.48,
-                             label_noise=0.438),
-    "squirrel": DatasetSpec("squirrel", "hetero", "fixed", 5, 2089, 0.22,
-                            n=5201, avg_deg=83.5, val_size=1664, signal=4.29,
-                            label_noise=0.688),
-    "film": DatasetSpec("film", "hetero", "fixed", 5, 931, 0.22,
-                        n=7600, avg_deg=8.8, val_size=3648, signal=4.47,
-                        label_noise=0.725),
-    "texas": DatasetSpec("texas", "hetero", "fixed", 5, 1703, 0.11,
-                         n=183, avg_deg=3.4, val_size=59, signal=1.73,
-                         structure=0.97, offdiag="matching",
-                         label_noise=0.150),
-    "wisconsin": DatasetSpec("wisconsin", "hetero", "fixed", 5, 1703, 0.21,
-                             n=251, avg_deg=4.0, val_size=80, signal=1.99,
+                             n=2277, avg_deg=31.7, val_size=729, signal=2.58,
                              structure=0.97, offdiag="matching",
-                             label_noise=0.125),
+                             label_noise=0.445),
+    "squirrel": DatasetSpec("squirrel", "hetero", "fixed", 5, 2089, 0.22,
+                            n=5201, avg_deg=83.5, val_size=1664, signal=0.99,
+                            structure=0.045, label_noise=0.0),
+    "film": DatasetSpec("film", "hetero", "fixed", 5, 931, 0.22,
+                        n=7600, avg_deg=8.8, val_size=3648, signal=1.22,
+                        structure=0.167, label_noise=0.0),
+    "texas": DatasetSpec("texas", "hetero", "fixed", 5, 1703, 0.11,
+                         n=183, avg_deg=3.4, val_size=59, signal=1.53,
+                         structure=0.803, offdiag="matching",
+                         label_noise=0.0),
+    "wisconsin": DatasetSpec("wisconsin", "hetero", "fixed", 5, 1703, 0.21,
+                             n=251, avg_deg=4.0, val_size=80, signal=1.8,
+                             structure=0.894, offdiag="matching",
+                             label_noise=0.0),
 }
 
 

@@ -169,8 +169,11 @@ def main(argv=None):
         from .train.results import aggregate_rounds
         from .train.trainer import RoundResult
 
+        from .data.registry import payload_fingerprint
+
         spec_d = DATASETS[name]
-        ckpt_name = f"{name}.{args.model}"
+        ckpt_name = (f"{name}.{args.model}.{payload_fingerprint(spec_d)}"
+                     f".e{args.epoch}.h{args.hidden_size}")
         results = []
         for round_i in range(cfg.rounds):
             if args.resume:

@@ -362,7 +362,7 @@ def run_protocol(name: str, data_root: str = "data",
     round's best params + metrics are checkpointed and completed rounds are
     skipped on re-run (resume — absent from the reference, SURVEY.md §5).
     """
-    from ..data.registry import DATASETS, load_dataset
+    from ..data.registry import DATASETS, load_dataset, payload_fingerprint
     from ..merw import merw_graph_per_component
     from .checkpoint import load_round, save_round
     from .results import aggregate_rounds
@@ -371,12 +371,20 @@ def run_protocol(name: str, data_root: str = "data",
     rounds = rounds if rounds is not None else cfg.rounds
     spec_d = DATASETS[name]
     variant = "homo" if spec_d.variant == "homo" else "hetero"
+    # checkpoints are only resumable into an identical protocol: key the
+    # directory by payload fingerprint + the config knobs that change the
+    # math, so a recalibrated stand-in or different epoch count can never
+    # silently resume stale rounds (r3's comparison-resume bug, one level
+    # down)
+    ckpt_name = (f"{name}.{payload_fingerprint(spec_d)}.e{cfg.epochs}"
+                 f".h{hidden}.s{cfg.seed}.{kind}.{rnn}.{agg}"
+                 + (".quirk" if quirk_compat else ""))
 
     results = []
     ps = None
     for round_i in range(rounds):
         if ckpt_dir is not None:
-            prev = load_round(ckpt_dir, name, round_i)
+            prev = load_round(ckpt_dir, ckpt_name, round_i)
             if prev is not None:
                 results.append(RoundResult(
                     best_val_acc=prev["meta"]["best_val_acc"],
@@ -414,7 +422,7 @@ def run_protocol(name: str, data_root: str = "data",
                         keep_params=ckpt_dir is not None, mesh=mesh,
                         shard_features=shard_features)
         if ckpt_dir is not None:
-            save_round(ckpt_dir, name, round_i, res)
+            save_round(ckpt_dir, ckpt_name, round_i, res)
             res.best_params = None
         if verbose:
             print(f"round {round_i}: val={res.best_val_acc:.4f} "

@@ -29,29 +29,43 @@ def main():
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 1000
     cfg = TrainConfig(epochs=epochs, rounds=rounds)
-    rows = []
-    for wl in (2, 3, 4, 5):
-        agg, _ = run_protocol(name, cfg=cfg, walk_len=wl, verbose=False)
-        m, s = agg["accuracy"]
-        rows.append((wl, m, s))
-        print(f"len={wl}: acc {100 * m:.2f} ± {100 * s:.2f}")
-    print("\nwalk_len | accuracy")
-    for wl, m, s in rows:
-        print(f"{wl:8d} | {100 * m:.2f} ± {100 * s:.2f}")
-
     import json
-    import os
     import time
 
     import jax
 
-    os.makedirs("results", exist_ok=True)
-    with open(f"results/ablation_length_{name}.json", "w") as f:
-        json.dump({"dataset": name, "rounds": rounds, "epochs": epochs,
-                   "platform": jax.devices()[0].platform,
-                   "ts": time.time(),
-                   "accuracy_by_len": {wl: [m, s] for wl, m, s in rows}}, f,
-                  indent=2)
+    out_path = f"results/ablation_length_{name}.json"
+    prev = {}
+    if os.path.exists(out_path):
+        p = json.load(open(out_path))
+        # resume only a run of the same protocol on the same platform
+        if (p.get("rounds") == rounds and p.get("epochs") == epochs
+                and p.get("platform") == jax.devices()[0].platform):
+            prev = {int(k): v for k, v in p.get("accuracy_by_len", {}).items()}
+    rows = [(wl, m, s) for wl, (m, s) in sorted(prev.items())]
+
+    def save():
+        os.makedirs("results", exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump({"dataset": name, "rounds": rounds, "epochs": epochs,
+                       "platform": jax.devices()[0].platform,
+                       "ts": time.time(),
+                       "accuracy_by_len": {wl: [m, s] for wl, m, s in rows}},
+                      f, indent=2)
+
+    for wl in (2, 3, 4, 5):
+        if wl in prev:
+            continue
+        agg, _ = run_protocol(name, cfg=cfg, walk_len=wl, verbose=False)
+        m, s = agg["accuracy"]
+        rows.append((wl, m, s))
+        print(f"len={wl}: acc {100 * m:.2f} ± {100 * s:.2f}", flush=True)
+        save()
+    print("\nwalk_len | accuracy")
+    for wl, m, s in rows:
+        print(f"{wl:8d} | {100 * m:.2f} ± {100 * s:.2f}")
+
+    save()
 
 
 if __name__ == "__main__":
