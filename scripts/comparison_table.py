@@ -46,11 +46,13 @@ def main():
     # missing #1 / weak #7).
     done = {}
     if os.path.exists(out_path):
+        from pathnet_tpu.data.registry import payload_fingerprint as _pf
         prev = json.load(open(out_path))
         cur_platform = jax.devices()[0].platform
         if (prev.get("platform") == cur_platform
                 and prev.get("rounds") == rounds
-                and prev.get("epochs") == epochs):
+                and prev.get("epochs") == epochs
+                and prev.get("payload") == _pf(spec_d)):
             done = prev.get("accuracy", {})
         else:
             print(f"resume: discarding stale artifact "
@@ -58,10 +60,13 @@ def main():
                   f"epochs={prev.get('epochs')} vs current {cur_platform}/"
                   f"{rounds}/{epochs})", file=sys.stderr)
 
+    from pathnet_tpu.data.registry import payload_fingerprint
+
     def flush(rows):
         with open(out_path, "w") as f:
             json.dump({"dataset": name, "rounds": rounds, "epochs": epochs,
                        "platform": jax.devices()[0].platform,
+                       "payload": payload_fingerprint(spec_d),
                        "ts": time.time(),
                        "accuracy": {m: [v[0], v[1]] for m, v in rows}}, f,
                       indent=2)

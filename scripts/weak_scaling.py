@@ -1,15 +1,30 @@
-"""Weak-scaling proxy on the virtual CPU mesh (VERDICT r2 #6).
+"""Weak-scaling with per-phase breakdown on the virtual CPU mesh (r4).
 
-Fixed per-device load: n_nodes = BASE_N * d for d in (1, 2, 4, 8); one full
-SPMD train step (sample + fwd/bwd + Adam + val eval) per mesh size, X
-graph-partitioned.  Perfect weak scaling = flat step time as d grows.  On
-the virtual CPU mesh all "devices" share one socket, so the absolute times
-compress and the curve is only a *logic* proxy (collective volumes scale
-correctly; compute parallelism does not) — the honest efficiency number
-needs a real multi-chip slice.  What this measures: the collective overhead
-growth of the sharded program as the mesh widens, normalized to d=1.
+Fixed per-device load: n_nodes = BASE_N * d for d in (1, 2, 4, 8), X
+graph-partitioned.  r3 measured a superlinear total-step overhead
+(1.05/1.41/2.05x at d=2/4/8) with no attribution; this version times each
+phase as its own jitted SPMD program:
 
-Writes results/weak_scaling.json.
+  sample    — the sharded walk+distance kernel
+  grad      — fwd/bwd + Adam given the path tensor (includes the GSPMD
+              feature exchange for the gathers)
+  eval      — the val forward
+  exchange  — the cross-shard feature gather alone, per implementation
+              (gspmd / ring / sparse), so the superlinear term can be
+              attributed to communication volume rather than compute
+
+Analytically the gspmd/ring exchange moves (d-1)*(n/d)*H words per device
+per gather — with n = BASE_N*d that is ~(d-1)*BASE_N*H: per-device comm
+GROWS LINEARLY with the mesh in weak scaling, which is exactly the
+superlinear signature.  The sparse ownership-keyed exchange moves
+(d-1)*m*H via psum_scatter (zero-padded contributions), same growth; a
+capped all-to-all would be the flat-volume fix (see PERF.md projection).
+
+Virtual-mesh caveat unchanged: all devices share one 2-core socket, so
+absolute times serialize compute; the d-growth of each phase normalized to
+its d=1 time is the signal.
+
+Writes results/weak_scaling.json (v2 schema, keeps the r3 note).
 """
 import json
 import os
@@ -31,13 +46,28 @@ BASE_N = 2048
 NW, WL, HID = 8, 4, 32
 
 
+def timed(fn, reps=5):
+    fn()  # warm
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[len(ts) // 2]
+
+
 def one(d):
+    from jax.sharding import NamedSharding, PartitionSpec as P
     from pathnet_tpu.data import synthetic_graph
     from pathnet_tpu.merw import merw_graph
     from pathnet_tpu.models import PaggSpec, init_pagg_params
-    from pathnet_tpu.parallel import make_mesh, sharded_train_step
+    from pathnet_tpu.models.pagg import pagg_forward
+    from pathnet_tpu.parallel import make_mesh
+    from pathnet_tpu.parallel.ring import make_ring_gather
+    from pathnet_tpu.parallel.sparse import make_sparse_gather_sharded
     from pathnet_tpu.sample import PathSampler
     from pathnet_tpu.train import make_optimizer
+    import optax
 
     n = BASE_N * d
     g = merw_graph(synthetic_graph(n=n, avg_deg=8, num_classes=4,
@@ -49,41 +79,87 @@ def one(d):
     optimizer = make_optimizer(lr=5e-3, weight_decay=5e-4)
     opt_state = optimizer.init(params)
     mesh = make_mesh(n_devices=d)
-    step = sharded_train_step(mesh, spec, optimizer, num_classes=4,
-                              shard_features=True)
+    ds = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+
+    X = jax.device_put(jnp.asarray(g.features), ds)
+    y = jax.device_put(jnp.asarray(g.labels), repl)
+    params = jax.device_put(params, repl)
+    opt_state = jax.device_put(opt_state, repl)
+    ps = jax.tree_util.tree_map(lambda a: jax.device_put(a, repl), ps)
     t = (n // 2) // d * d
     tr = jnp.arange(t, dtype=jnp.int32)
     va = jnp.arange(t, 2 * t, dtype=jnp.int32)
-    X = jnp.asarray(g.features)
-    y = jnp.asarray(g.labels)
-    args = (params, opt_state, X, y, ps, tr, va, jax.random.PRNGKey(2))
-    jax.block_until_ready(step(*args)[2])
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        jax.block_until_ready(step(*args)[2])
-        ts.append(time.perf_counter() - t0)
-    return n, sorted(ts)[len(ts) // 2]
+
+    @jax.jit
+    def sample(key):
+        starts = jax.lax.with_sharding_constraint(
+            jnp.arange(ps.sampler.n, dtype=jnp.int32), ds)
+        paths, dists = ps.sample(key, starts)
+        return (jax.lax.with_sharding_constraint(paths, ds),
+                jax.lax.with_sharding_constraint(dists, ds))
+
+    paths, dists = jax.block_until_ready(sample(jax.random.PRNGKey(2)))
+
+    @jax.jit
+    def grad_step(params, opt_state, paths, dists, key):
+        def loss_fn(p):
+            logits = pagg_forward(p, X, paths[tr], dists[tr], tr, spec,
+                                  train=True, key=key)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits, y[tr]).mean()
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def evalf(params, paths, dists):
+        logits = pagg_forward(params, X, paths[va], dists[va], va, spec,
+                              train=False)
+        return jnp.mean((jnp.argmax(logits, -1) == y[va]).astype(jnp.float32))
+
+    key = jax.random.PRNGKey(3)
+    res = {
+        "sample_ms": timed(lambda: sample(key)[0]) * 1e3,
+        "grad_ms": timed(lambda: grad_step(params, opt_state, paths, dists,
+                                           key)[2]) * 1e3,
+        "eval_ms": timed(lambda: evalf(params, paths, dists)) * 1e3,
+    }
+
+    # exchange microbench: gather m sharded feature rows per implementation
+    m = t * NW * WL
+    idx = jax.device_put(
+        jax.random.randint(jax.random.PRNGKey(4), (m,), 0, n, jnp.int32), ds)
+    impls = {"gspmd": lambda h, i: h[i],
+             "ring": make_ring_gather(mesh, "data"),
+             "sparse": make_sparse_gather_sharded(mesh, "data")}
+    for nm, fn in impls.items():
+        g_jit = jax.jit(lambda h, i, fn=fn: fn(h, i).sum())
+        try:
+            res[f"exchange_{nm}_ms"] = timed(lambda: g_jit(X, idx)) * 1e3
+        except Exception as e:  # noqa: BLE001 — record, keep scaling run alive
+            res[f"exchange_{nm}_ms"] = None
+            print(f"  exchange {nm} failed at d={d}: {e!r}", flush=True)
+    return n, res
 
 
 def main():
     out = {"base_n_per_device": BASE_N, "nw": NW, "wl": WL,
            "note": "virtual CPU mesh: devices share one socket, so times "
-                   "include serialized compute; the d-growth of overhead is "
-                   "the signal, not absolute efficiency", "points": []}
-    t1 = None
+                   "include serialized compute; the d-growth of each phase "
+                   "normalized to d=1 is the signal, not absolute "
+                   "efficiency", "points": []}
+    base = None
     for d in (1, 2, 4, 8):
-        n, dt = one(d)
-        t1 = t1 or dt
-        out["points"].append({"devices": d, "n_nodes": n,
-                              "step_ms": round(dt * 1e3, 1),
-                              "vs_d1": round(dt / t1, 2),
-                              # shared-socket ideal is d x t1 (total work
-                              # grows with d but cores don't); >1.0 = added
-                              # collective/replication overhead
-                              "overhead_vs_shared_socket_ideal":
-                                  round(dt / (t1 * d), 2)})
-        print(out["points"][-1], flush=True)
+        n, res = one(d)
+        base = base or res
+        point = {"devices": d, "n_nodes": n}
+        for k, v in res.items():
+            point[k] = round(v, 1) if v is not None else None
+            if v is not None and base.get(k):
+                point[k + "_overhead"] = round(v / (base[k] * d), 2)
+        out["points"].append(point)
+        print(point, flush=True)
     os.makedirs("results", exist_ok=True)
     with open("results/weak_scaling.json", "w") as f:
         json.dump(out, f, indent=2)
