@@ -377,7 +377,8 @@ def run_protocol(name: str, data_root: str = "data",
     # silently resume stale rounds (r3's comparison-resume bug, one level
     # down)
     ckpt_name = (f"{name}.{payload_fingerprint(spec_d)}.e{cfg.epochs}"
-                 f".h{hidden}.s{cfg.seed}.{kind}.{rnn}.{agg}"
+                 f".h{hidden}.s{cfg.seed}.nw{num_walks}.wl{walk_len}"
+                 f".dr{dropout}.{kind}.{rnn}.{agg}"
                  + (".quirk" if quirk_compat else ""))
 
     results = []

@@ -92,7 +92,7 @@ def main():
                             and c.get("model", "pathnet") == model
                             and not c.get("quirk_compat")
                             and c.get("payload") == fp
-                            and c.get("round") == rounds
+                            and c.get("round", 0) >= rounds
                             and c.get("epoch") == epochs
                             and (platform == "cpu") == ("cpu" in
                                                         rec.get("device", ""))):
