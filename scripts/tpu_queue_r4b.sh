@@ -29,6 +29,10 @@ run $R -data Nba -e 1000 -r 5 -hid 256 -nw 160 --resume
 run $R -data Nba -e 1000 -r 5 -hid 256 -nw 160 --agg mean --resume
 run $R -data Nba -e 1000 -r 5 -hid 256 -dr 0.3 --resume
 
+# distance-selective signal experiment on the real Nba structure: the
+# payload family where path/distance machinery is provably required
+run python scripts/distance_selective.py 5 1000
+
 # PathNet-Mean ablation rows on the attention-sensitive datasets (the
 # paper's own PathNet-Mean table row)
 run $R -data cora -e 1000 -r 10 --agg mean --resume
