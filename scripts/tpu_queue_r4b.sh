@@ -36,6 +36,7 @@ run python scripts/distance_selective.py 5 1000
 # PathNet-Mean ablation rows on the attention-sensitive datasets (the
 # paper's own PathNet-Mean table row)
 run $R -data cora -e 1000 -r 10 --agg mean --resume
+run $R -data cora -e 1000 -r 5 -nw 160 --agg mean --resume
 run $R -data cornell -e 1000 -r 10 --agg mean --resume
 run $R -data citeseer -e 1000 -r 10 --agg mean --resume
 
@@ -44,15 +45,11 @@ run $R -data pubmed -e 1000 -r 10 --microbatch 8192 --resume
 run $R -data pubmed -e 1000 -r 10 --model mlp --resume
 run python scripts/comparison_table.py pubmed 3 1000
 
-# film / squirrel / Dblp
-run $R -data film -e 1000 -r 10 --resume
-run $R -data film -e 1000 -r 10 --model mlp --resume
+# film / squirrel / Dblp protocol+MLP rows were produced at 10x1000 on the
+# current payloads by the surviving r3 extension queue (fingerprints
+# verified) — only the comparison columns remain
 run python scripts/comparison_table.py film 3 1000
-run $R -data squirrel -e 1000 -r 10 --resume
-run $R -data squirrel -e 1000 -r 10 --model mlp --resume
 run python scripts/comparison_table.py squirrel 3 1000
-run $R -data Dblp -e 1000 -r 10 --microbatch 8192 --resume
-run $R -data Dblp -e 1000 -r 10 --model mlp --resume
 run python scripts/comparison_table.py Dblp 3 1000
 
 # Electronics: 4-round checkpoint first, then extend to 10
