@@ -12,8 +12,9 @@ aggregating walks of length >= 3 — a model with walk_len=2 is structurally
 blind to it.  Expected shape: sharp rise at walk_len 3, flat/slight decline
 after — the mechanism behind the reference's peak, isolated.
 
-Runs on the virtual CPU backend (tiny shapes).  Writes
-results/ablation_pattern.json.
+Runs on the default backend (TPU when available; --cpu forces CPU —
+at n=2000/nw=80 a CPU run is hours while TPU is seconds per length).
+Writes results/ablation_pattern.json incrementally (resumable per length).
 """
 from __future__ import annotations
 
@@ -29,7 +30,8 @@ enable_compilation_cache()
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 import numpy as np
@@ -74,7 +76,16 @@ def main():
     out = {"n": n, "avg_deg": avg_deg, "num_classes": int(C),
            "rounds": rounds, "epochs": epochs, "num_walks": num_walks,
            "agg": "sum", "lengths": {}}
+    out_path = "results/ablation_pattern.json"
+    import os
+    if os.path.exists(out_path):
+        prev = json.load(open(out_path))
+        if all(prev.get(k) == out[k] for k in
+               ("n", "num_walks", "rounds", "epochs")):
+            out["lengths"] = prev.get("lengths", {})
     for wl in (2, 3, 4, 5):
+        if str(wl) in out["lengths"] or wl in out["lengths"]:
+            continue
         ps = PathSampler.build(g, num_walks=num_walks, walk_len=wl,
                                kind="uniform")
         # sum aggregation: the label is the argmax of a walk-pattern
@@ -93,8 +104,8 @@ def main():
                               "std": float(np.std(accs))}
         print(f"wl={wl}: {np.mean(accs):.4f} +/- {np.std(accs):.4f}",
               flush=True)
-    with open("results/ablation_pattern.json", "w") as f:
-        json.dump(out, f, indent=2)
+        with open(out_path, "w") as f:
+            json.dump(out, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -29,6 +29,11 @@ run $R -data Nba -e 1000 -r 5 -hid 256 -nw 160 --resume
 run $R -data Nba -e 1000 -r 5 -hid 256 -nw 160 --agg mean --resume
 run $R -data Nba -e 1000 -r 5 -hid 256 -dr 0.3 --resume
 
+# path-pattern synthetic (gen_cora_syn semantics) at the scale where the
+# plug-in ceiling shows the peak-at-3 (CPU run demonstrated wl2 62.6 ->
+# wl3 68.7 before timing out; TPU reruns all lengths in minutes)
+run python scripts/ablation_pattern.py
+
 # distance-selective signal experiment on the real Nba structure: the
 # payload family where path/distance machinery is provably required
 run python scripts/distance_selective.py 5 1000
