@@ -101,11 +101,19 @@ def one(d):
 
     paths, dists = jax.block_until_ready(sample(jax.random.PRNGKey(2)))
 
+    def shard(t):
+        # constrain the gathered batch to the data sharding — without this
+        # GSPMD replicates the whole batch on every device (the exact bug
+        # class fixed in trainer.py r3; the r4a version of this probe
+        # omitted it and measured a 10x grad blowup that was the probe's,
+        # not the trainer's)
+        return jax.lax.with_sharding_constraint(t, ds)
+
     @jax.jit
     def grad_step(params, opt_state, paths, dists, key):
         def loss_fn(p):
-            logits = pagg_forward(p, X, paths[tr], dists[tr], tr, spec,
-                                  train=True, key=key)
+            logits = pagg_forward(p, X, shard(paths[tr]), shard(dists[tr]),
+                                  tr, spec, train=True, key=key)
             return optax.softmax_cross_entropy_with_integer_labels(
                 logits, y[tr]).mean()
         loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -114,8 +122,8 @@ def one(d):
 
     @jax.jit
     def evalf(params, paths, dists):
-        logits = pagg_forward(params, X, paths[va], dists[va], va, spec,
-                              train=False)
+        logits = pagg_forward(params, X, shard(paths[va]), shard(dists[va]),
+                              va, spec, train=False)
         return jnp.mean((jnp.argmax(logits, -1) == y[va]).astype(jnp.float32))
 
     key = jax.random.PRNGKey(3)
