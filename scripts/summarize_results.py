@@ -65,7 +65,9 @@ def main():
                 stale = True
             fp = cfg.get("payload")
             cur_fp = CURRENT_FP.get(rec["name"])
-            if fp is not None and cur_fp is not None and fp != cur_fp:
+            if cur_fp is not None and fp != cur_fp and not stale:
+                # rows without a recorded fingerprint predate the r4
+                # recalibration and are equally stale
                 dev += " (stale payload)"
                 stale = True
             if cfg.get("round", 10) < 10:
@@ -140,12 +142,13 @@ def main():
     if ceil:
         out += ["", "## What the stand-in payloads can support"
                 " (results/standin_ceiling.json)", "",
-                "`feat` = validation-tuned ridge on features (MLP proxy);"
-                " `oracle` = ridge given the TRUE 1+2-hop neighbor class"
-                " mixes — an upper bound on what any structure-aware model"
-                " can extract from the payload.  Where our PathNet sits near"
-                " `oracle`, the gap to the reference's number is"
-                " payload-limited, not model-limited.", "",
+                "`feat` = centroid-score logistic probe on features (MLP"
+                " proxy; scripts/probes.py); `oracle` = the same probe also"
+                " given the observed 1+2-hop neighbor class mixes — an"
+                " upper bound on what any structure-aware model can extract"
+                " from the payload.  Where our PathNet sits near `oracle`,"
+                " the gap to the reference's number is payload-limited, not"
+                " model-limited.", "",
                 "| dataset | feat | oracle(2hop) | ours PathNet | ref PathNet |",
                 "|---|---|---|---|---|"]
         for name, c in ceil.items():
