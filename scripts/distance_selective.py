@@ -40,13 +40,25 @@ from pathnet_tpu.utils import enable_compilation_cache
 enable_compilation_cache()
 
 
-def build_task(seed=11, num_classes=4, feat_dim=32, signal=3.0):
+def build_task(seed=11, num_classes=4, feat_dim=32, signal=3.0,
+               source="sparse"):
     import scipy.sparse as sp
 
     from pathnet_tpu.data import Graph
     from pathnet_tpu.data.registry import load_structure
+    from pathnet_tpu.data.synthetic import synthetic_graph
 
-    g = load_structure("Nba")         # real 403-node, deg~107 structure
+    if source == "nba":
+        # real 403-node structure — measured DEGENERATE for this task: at
+        # avg degree ~107 the exact-2-hop set is nearly the whole graph, so
+        # y becomes a global argmax (majority ~56%) and every model ties at
+        # the majority rate (results/distance_selective_nba.json).  Kept as
+        # the negative control.
+        g = load_structure("Nba")
+    else:
+        # sparse graph: |exact-2-hop| ~ deg^2 ~ 25 — local, per-node labels
+        g = synthetic_graph(n=2000, avg_deg=5.0, num_classes=2,
+                            homophily=0.5, feat_dim=4, seed=13)
     rng = np.random.default_rng(seed)
     z = rng.integers(0, num_classes, size=g.n)
     A = sp.coo_matrix((np.ones(len(g.src)), (g.src, g.dst)),
@@ -73,8 +85,10 @@ def build_task(seed=11, num_classes=4, feat_dim=32, signal=3.0):
 
 
 def main():
-    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 5
-    epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    source = "nba" if "--nba" in sys.argv else "sparse"
+    rounds = int(args[0]) if len(args) > 0 else 5
+    epochs = int(args[1]) if len(args) > 1 else 1000
 
     import jax.numpy as jnp
 
@@ -87,11 +101,11 @@ def main():
     from pathnet_tpu.train import run_round, run_baseline_round
     from pathnet_tpu.train.results import aggregate_rounds
 
-    g, C = build_task()
+    g, C = build_task(source=source)
     cfg = TrainConfig(epochs=epochs, rounds=rounds)
-    out = {"task": "argmax z-class over EXACT hop-2 neighbors, real Nba "
-                   "structure", "rounds": rounds, "epochs": epochs,
-           "accuracy": {}}
+    out = {"task": f"argmax z-class over EXACT hop-2 neighbors, "
+                   f"{source} structure (n={g.n})",
+           "rounds": rounds, "epochs": epochs, "accuracy": {}}
 
     gm = merw_graph_per_component(g)
     ps = PathSampler.build(gm, num_walks=40, walk_len=4)
@@ -118,7 +132,8 @@ def main():
         out["accuracy"][model] = [agg["accuracy"][0], agg["accuracy"][1]]
         print(model, out["accuracy"][model], flush=True)
 
-    with open("results/distance_selective.json", "w") as f:
+    suffix = "_nba" if source == "nba" else ""
+    with open(f"results/distance_selective{suffix}.json", "w") as f:
         json.dump(out, f, indent=2)
 
 

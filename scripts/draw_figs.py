@@ -159,6 +159,50 @@ def fig_comparison():
     print("wrote figs/comparison.png")
 
 
+def fig_pattern():
+    """Path-pattern synthetic: trained curve vs plug-in Bayes ceiling
+    (gen_cora_syn semantics; the mechanism behind the reference's
+    peak-at-3 length ablation, isolated)."""
+    try:
+        trained = json.load(open("results/ablation_pattern.json"))
+        ceiling = json.load(open("results/pattern_ceiling.json"))
+    except Exception:
+        print("pattern artifacts incomplete; skipping pattern figure")
+        return
+    if "num_walks" not in trained:          # r3-era artifact
+        print("pattern artifact is pre-r4; skipping pattern figure")
+        return
+    fig, ax = plt.subplots(figsize=(5.6, 4.2), facecolor=SURFACE)
+    style_axes(ax)
+    lens = sorted(int(k) for k in trained["lengths"])
+    m = [100 * trained["lengths"][str(l)]["mean"] for l in lens]
+    s = [100 * trained["lengths"][str(l)]["std"] for l in lens]
+    ax.plot(lens, m, color=PALETTE[0], linewidth=2, marker="o",
+            markersize=4.5, label="PathNet (sum agg, trained)", zorder=3)
+    ax.errorbar(lens, m, yerr=s, fmt="none", ecolor=PALETTE[0],
+                elinewidth=1, capsize=2, alpha=0.5, zorder=2)
+    cl = sorted(int(k) for k in ceiling["plug_in_acc_by_len"])
+    cm = [100 * ceiling["plug_in_acc_by_len"][str(l)] for l in cl]
+    ax.plot(cl, cm, color=PALETTE[1], linewidth=1.6, marker="s",
+            markersize=4, linestyle="--",
+            label="plug-in Bayes decoder (same #walks)", zorder=3)
+    ax.axvline(3, color="#d8d7d2", linewidth=1, zorder=1)
+    ax.annotate("generative length", (3, ax.get_ylim()[0] + 1),
+                fontsize=7.5, color=TEXT2, ha="center")
+    ax.set_xticks([2, 3, 4, 5])
+    ax.set_xlabel("model walk length", color=TEXT2, fontsize=9)
+    ax.set_ylabel("test accuracy (%)", color=TEXT2, fontsize=9)
+    ax.set_title("Path-pattern synthetic (gen_cora_syn semantics)",
+                 color=TEXT1, fontsize=10.5)
+    ax.legend(fontsize=8, frameon=False, labelcolor=TEXT2)
+    fig.tight_layout()
+    os.makedirs("figs", exist_ok=True)
+    fig.savefig("figs/ablation_pattern.png", dpi=150, facecolor=SURFACE,
+                bbox_inches="tight")
+    print("wrote figs/ablation_pattern.png")
+
+
 if __name__ == "__main__":
     fig_ablation()
     fig_comparison()
+    fig_pattern()
