@@ -15,10 +15,17 @@ structure and shows the architecture difference it exposes:
               (hop-1 z's excluded by construction)
 
 A model must (1) read neighbors' z from features and (2) select exactly
-distance-2 nodes.  PathNet's per-node BFS distances + distance-conditioned
-transforms (PathNet_run.py:186-192 semantics) can represent this
-selection; a 2-layer GCN/GAT mixes hop-1/hop-2/self contributions and
-cannot separate them; an MLP sees only z_i which is independent of y_i.
+distance-2 nodes.  MEASURED OUTCOME (results/distance_selective.json): the
+selection requirement does separate architectures, but in favor of
+explicit structured aggregation — h2gcn (strict-2-hop mean) 46.6 > mixhop
+42.7 > PathNet-best 38.6 (mean agg, dropout 0) > GAT/GCN ~34 (hop-mixing)
+> MLP 26 (chance 25); PathNet at wl=2 (positions reach hop<=1) is at
+chance, confirming the distance-conditioned machinery is what lifts
+wl>=3.  Together with the pattern synthetic (ablation_pattern.json, where
+PathNet's sequential encoder shows the generative-length peak) this
+triangulates the regimes: edgewise fields -> smoothing wins; pure
+counting -> structured aggregation wins; sequential path patterns ->
+path encoders win.
 
 Runs PathNet / mlp / gcn / gat / sage / gin on the task, writes
 results/distance_selective.json.
