@@ -379,6 +379,7 @@ def run_protocol(name: str, data_root: str = "data",
     ckpt_name = (f"{name}.{payload_fingerprint(spec_d)}.e{cfg.epochs}"
                  f".h{hidden}.s{cfg.seed}.nw{num_walks}.wl{walk_len}"
                  f".dr{dropout}.{kind}.{rnn}.{agg}"
+                 + ("" if compute_dtype == "float32" else f".{compute_dtype}")
                  + (".quirk" if quirk_compat else ""))
 
     results = []

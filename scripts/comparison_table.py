@@ -93,7 +93,7 @@ def main():
                             and not c.get("quirk_compat")
                             and c.get("payload") == fp
                             and c.get("round", 0) >= rounds
-                            and c.get("epoch") == epochs
+                            and c.get("epoch", 0) >= epochs
                             and (platform == "cpu") == ("cpu" in
                                                         rec.get("device", ""))):
                         a = rec["metrics"]["accuracy"]
