@@ -57,3 +57,32 @@ def test_path_pattern_labels_line_graph():
     # parity-0 (nodes 0/2); recompute one count by hand: all walks of len 3
     # from 0 over this symmetric triangle = 2^3 = 8 walks
     # (deterministic structural sanity only)
+
+
+def test_payload_fingerprint_tracks_calibration_knobs():
+    """Fingerprints must change with any payload-shaping knob and be stable
+    across processes (used to invalidate stale result rows/checkpoints)."""
+    import dataclasses
+
+    from pathnet_tpu.data.registry import DATASETS, payload_fingerprint
+
+    spec = DATASETS["cornell"]
+    fp = payload_fingerprint(spec)
+    assert fp == payload_fingerprint(spec)           # deterministic
+    for field, val in [("signal", spec.signal + 0.01),
+                       ("structure", spec.structure + 0.01),
+                       ("label_noise", spec.label_noise + 0.01),
+                       ("offdiag", "shift" if spec.offdiag != "shift"
+                        else "matching")]:
+        assert payload_fingerprint(
+            dataclasses.replace(spec, **{field: val})) != fp
+
+
+def test_payload_cache_returns_identical_graph():
+    """load_dataset caches the generated payload keyed by fingerprint; the
+    cached graph must be the same object (no re-annealing per round)."""
+    from pathnet_tpu.data.registry import load_dataset
+
+    g0, *_ = load_dataset("cornell", data_root="data", round_i=0)
+    g1, *_ = load_dataset("cornell", data_root="data", round_i=3)
+    assert g0 is g1
