@@ -222,6 +222,11 @@ _PAYLOAD_CACHE: Dict[Tuple[str, str, str], "Graph"] = {}
 _PAYLOAD_CACHE_MAX = 4
 
 
+def clear_payload_cache() -> None:
+    """Drop cached payloads (tests / after mutating data files on disk)."""
+    _PAYLOAD_CACHE.clear()
+
+
 def load_dataset(name: str, data_root: str = "data", round_i: int = 0,
                  ) -> Tuple[Graph, np.ndarray, np.ndarray, np.ndarray, DatasetSpec]:
     """Load graph + payload + round masks.

@@ -88,6 +88,10 @@ def test_load_dataset_validates(monkeypatch):
         return dataclasses.replace(g, features=feats)
 
     monkeypatch.setattr(registry, "attach_synthetic_payload", corrupt)
+    # the payload cache would otherwise serve a clean graph assembled by an
+    # earlier test, bypassing the monkeypatched assembly entirely
+    registry.clear_payload_cache()
     # Nba: real edge structure (data/edge_input/Nba.in) + synthetic payload
     with pytest.raises(DataValidationError, match="non-finite"):
         registry.load_dataset("Nba", "data", 0)
+    registry.clear_payload_cache()     # do not leak the corrupted payload
