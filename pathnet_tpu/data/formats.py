@@ -81,17 +81,19 @@ def parse_path_file(path: str, walk_len: int) -> Tuple[np.ndarray, np.ndarray]:
     PathNet_run.py:310-313).  Line grammar matches the C++ printf
     (gen_merw.cpp:188-206): ``[v0, v1, ..., d0, ..., d_{L-1}]``.
     """
-    import warnings
-
     with open(path, "r") as f:
         txt = f.read()
     # fast path: uniform "[v, ..., d]" lines parse as one comma-separated
-    # stream (reference dumps are ~100 MB; a Python line loop takes minutes)
+    # stream (reference dumps are ~100 MB; a Python line loop takes minutes).
+    # np.array on the token list parses ints in C and, unlike the removed
+    # np.fromstring, is numpy-2-stable; malformed tokens fall through to the
+    # diagnostic line loop below.
     if txt:
-        stream = txt.translate(_PATH_TRANS).rstrip(", \n\t")
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore", DeprecationWarning)
-            flat = np.fromstring(stream, dtype=np.int64, sep=",")
+        stream = txt.translate(_PATH_TRANS).strip(", \n\t")
+        try:
+            flat = np.array(stream.split(","), dtype=np.int64)
+        except ValueError:
+            flat = np.zeros(1, np.int64)  # odd size -> slow path
     else:
         flat = np.zeros(0, np.int64)
     if flat.size % (2 * walk_len) == 0 and flat.size > 0:

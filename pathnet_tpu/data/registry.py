@@ -278,6 +278,13 @@ def load_dataset(name: str, data_root: str = "data", round_i: int = 0,
                                              label_noise=spec.label_noise)
         while len(_PAYLOAD_CACHE) >= _PAYLOAD_CACHE_MAX:
             _PAYLOAD_CACHE.pop(next(iter(_PAYLOAD_CACHE)))
+        # the same ndarray objects are handed to every caller across rounds
+        # and models; freeze them so an accidental in-place mutation raises
+        # instead of corrupting all subsequent cached rounds (ADVICE r4 #5)
+        for arr in (g.src, g.dst, g.prob, g.features, g.labels,
+                    *(fixed_masks or ())):
+            if isinstance(arr, np.ndarray):
+                arr.setflags(write=False)
         _PAYLOAD_CACHE[cache_key] = (g, fixed_masks)
 
     if fixed_masks is not None:

@@ -1,6 +1,6 @@
 from .ops import spmm, segment_softmax, batch_norm, EdgeGraph
-from .zoo import (BASELINES, init_baseline, baseline_forward, BaselineSpec,
-                  build_baseline_graphs)
+from .zoo import (BASELINES, EXTRA_MODELS, init_baseline, baseline_forward,
+                  BaselineSpec, build_baseline_graphs)
 
 __all__ = [
     "batch_norm",
@@ -9,6 +9,7 @@ __all__ = [
     "segment_softmax",
     "EdgeGraph",
     "BASELINES",
+    "EXTRA_MODELS",
     "init_baseline",
     "baseline_forward",
     "BaselineSpec",

@@ -62,6 +62,12 @@ BASELINES = ("mlp", "gcn", "gat", "sage", "sage1", "gin", "sgc", "fagcn",
 # cheb  — GPRGNN GNN_models_h2gcn.py:139-155: two ChebConv(K=2) layers
 # lp    — MultiLP label propagation (Mixhop models.py:206-258), parameterless
 
+# extra zoo members accepted by init/forward but not part of the default
+# comparison column (the reference never runs them in the headline table):
+# sgcmem — SGCMem (Mixhop models.py:114-160): linear FIRST (F→C), then
+#          k_hops sym-normalized propagations — the memory-light SGC order
+EXTRA_MODELS = ("sgcmem",)
+
 
 # ---------------------------------------------------------------------------
 # graph preparation
@@ -70,7 +76,8 @@ BASELINES = ("mlp", "gcn", "gat", "sage", "sage1", "gin", "sgc", "fagcn",
 def build_baseline_graphs(g: Graph, name: str) -> Dict[str, EdgeGraph]:
     """Per-model adjacency variants (host-built once per graph)."""
     graphs: Dict[str, EdgeGraph] = {}
-    if name in ("gcn", "sgc", "mixhop", "gprgnn", "appnp", "gcnjk", "lp"):
+    if name in ("gcn", "sgc", "sgcmem", "mixhop", "gprgnn", "appnp", "gcnjk",
+                "lp"):
         graphs["sym"] = EdgeGraph.from_graph(g, norm="sym", add_self_loops=True)
     if name == "link":
         graphs["raw"] = EdgeGraph.from_graph(g, norm="none", add_self_loops=False)
@@ -162,7 +169,7 @@ def init_baseline(key: jax.Array, spec: BaselineSpec) -> dict:
         p["eps"] = jnp.zeros((L,))
         p["out"] = torch_linear_init(ks[2 * L], H, C)
         p["bns"] = [_bn_params(H) for _ in range(L)]
-    elif nm == "sgc":
+    elif nm in ("sgc", "sgcmem"):
         p["lin"] = torch_linear_init(ks[0], F, C)
     elif nm == "fagcn":
         p["in"] = torch_linear_init(ks[0], F, H)
@@ -361,6 +368,15 @@ def _forward(params: dict, spec: BaselineSpec, X: jnp.ndarray,
         for _ in range(spec.k_hops):
             h = spmm(eg, h)
         return _linear(params["lin"], h)
+
+    if nm == "sgcmem":
+        # SGCMem (Mixhop models.py:114-160): weight multiplication FIRST
+        # (F→C, cheaper when C < F), then hops sym-normalized propagations
+        eg = graphs["sym"]
+        h = _linear(params["lin"], h)
+        for _ in range(spec.k_hops):
+            h = spmm(eg, h)
+        return h
 
     if nm == "fagcn":
         raw, egs = graphs["raw"], graphs["symnl"]

@@ -186,9 +186,12 @@ def pagg_forward(params, X: jnp.ndarray, paths: jnp.ndarray,
         gather_fn = lambda h, idx: h[idx]
     gm = spec.resolved_gather_mode()
 
-    def project(rows):
-        """fc0 on already-gathered rows ([..., F] → [..., H])."""
-        z = rows @ params["fc0"]["w"] + params["fc0"]["b"]
+    def project(rows, p=None):
+        """fc0 on already-gathered rows ([..., F] → [..., H]); ``p``
+        overrides the param tree (the bf16 encode path passes its casted
+        copy so both callers share one body — ADVICE r4 #4)."""
+        p = params if p is None else p
+        z = rows @ p["fc0"]["w"] + p["fc0"]["b"]
         return jax.nn.relu(z) if spec.variant == "homo" else z
 
     need_h = gm == "h" or (spec.variant == "hetero" and spec.quirk_compat)
@@ -225,20 +228,12 @@ def pagg_forward(params, X: jnp.ndarray, paths: jnp.ndarray,
             # epoch-invariant view is cast)
             table = table.astype(cdt)
             params = dict(params)
-            for k in ("dist", "rnn"):
+            for k in ("dist", "rnn", "fc0"):
                 params[k] = jax.tree_util.tree_map(
                     lambda x: x.astype(cdt), params[k])
         nei = gather_fn(table, paths)                # [T, nw, wl, H|F]
         if gm == "x":
-            nei = jax.lax.stop_gradient(nei)
-            if cdt is not None:
-                w0 = params["fc0"]["w"].astype(cdt)
-                b0 = params["fc0"]["b"].astype(cdt)
-                nei = nei @ w0 + b0
-                if spec.variant == "homo":
-                    nei = jax.nn.relu(nei)
-            else:
-                nei = project(nei)
+            nei = project(jax.lax.stop_gradient(nei), params)
         if spec.variant == "hetero":
             seq_in = jnp.flip(nei, axis=2)
             d_in = jnp.flip(dists, axis=2)

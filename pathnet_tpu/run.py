@@ -45,8 +45,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "--data_root for payload lookup")
     p.add_argument("--model", type=str, default="pathnet",
                    help="pathnet or a baseline: mlp/gcn/gat/gatjk/sage/sage1/"
-                        "gin/sgc/cheb/fagcn/h2gcn/mixhop/gprgnn/appnp/link/"
-                        "gcnjk/lp")
+                        "gin/sgc/sgcmem/cheb/fagcn/h2gcn/mixhop/gprgnn/appnp/"
+                        "link/gcnjk/lp")
     p.add_argument("--rnn", type=str, default="lstm",
                    choices=["lstm", "gru", "mlp"])
     p.add_argument("--agg", type=str, default="attention",
@@ -172,8 +172,13 @@ def main(argv=None):
         from .data.registry import payload_fingerprint
 
         spec_d = DATASETS[name]
+        # mirror run_protocol's key: every math-changing knob is in the name
+        # so --resume can never bless rounds from a different config
+        # (ADVICE r4: a bf16 rerun silently resumed f32 rounds)
         ckpt_name = (f"{name}.{args.model}.{payload_fingerprint(spec_d)}"
-                     f".e{args.epoch}.h{args.hidden_size}")
+                     f".e{args.epoch}.h{args.hidden_size}"
+                     f".s{args.seed}.dr{args.dropout}"
+                     + ("" if args.dtype == "float32" else f".{args.dtype}"))
         results = []
         for round_i in range(cfg.rounds):
             if args.resume:

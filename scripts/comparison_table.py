@@ -62,12 +62,15 @@ def main():
 
     from pathnet_tpu.data.registry import payload_fingerprint
 
+    seeded_cfg = dict(prev.get("seeded", {})) if os.path.exists(out_path) and done else {}
+
     def flush(rows):
         with open(out_path, "w") as f:
             json.dump({"dataset": name, "rounds": rounds, "epochs": epochs,
                        "platform": jax.devices()[0].platform,
                        "payload": payload_fingerprint(spec_d),
                        "ts": time.time(),
+                       "seeded": seeded_cfg,
                        "accuracy": {m: [v[0], v[1]] for m, v in rows}}, f,
                       indent=2)
 
@@ -77,11 +80,24 @@ def main():
     # (payload, rounds, epochs, platform): the protocol artifacts
     # (result_for_*.txt / results.jsonl) are produced by run.py anyway, so
     # re-running an identical 10x1000 PathNet round here would be pure
-    # duplicate compute
+    # duplicate compute.  The seeded row's own config (hidden/nw/dropout/
+    # dtype — reference rows use per-dataset configs, e.g. Electronics
+    # hid=32) is recorded in the artifact under "seeded" so the rendered
+    # table can disclose it (ADVICE r4 medium #2).
+    def _device_platform(dev):
+        d = (dev or "").lower()
+        if d.startswith("tpu"):
+            return "tpu"
+        if "cpu" in d:
+            return "cpu"
+        return None   # "unknown" / GPU / legacy rows never match (ADVICE r4)
+
     def protocol_row(model):
         from pathnet_tpu.data.registry import payload_fingerprint
         fp = payload_fingerprint(spec_d)
         platform = jax.devices()[0].platform
+        if platform != "cpu":
+            platform = "tpu"   # axon et al. are TPU backends
         best = None
         try:
             with open("results/results.jsonl") as f:
@@ -94,10 +110,18 @@ def main():
                             and c.get("payload") == fp
                             and c.get("round", 0) >= rounds
                             and c.get("epoch", 0) >= epochs
-                            and (platform == "cpu") == ("cpu" in
-                                                        rec.get("device", ""))):
+                            and c.get("agg", "attention") == "attention"
+                            and c.get("rnn", "lstm") == "lstm"
+                            and c.get("num_of_walks", 40) == 40
+                            and c.get("walk_length", 4) == 4
+                            and _device_platform(rec.get("device"))
+                                == platform):
                         a = rec["metrics"]["accuracy"]
                         best = (a["mean"], a["std"])
+                        seeded_cfg[model] = {
+                            k: c.get(k) for k in
+                            ("hidden_size", "num_of_walks", "dropout",
+                             "dtype", "round", "epoch")}
         except FileNotFoundError:
             pass
         return best
@@ -140,6 +164,18 @@ def main():
           f" {epochs} epochs) ===")
     for model, (m, s) in rows:
         print(f"{model:12s} {100 * m:6.2f} ± {100 * s:.2f}")
+
+    # completeness check (VERDICT r4 next #7): a crash mid-column used to
+    # leave a silently-truncated artifact that the aggregate log reported as
+    # success.  Exit nonzero when any expected model is absent so the queue's
+    # retry wrapper re-runs the remnant.
+    have = {m for m, _ in rows}
+    expected = {"PathNet"} | set(BASELINES)
+    missing = sorted(expected - have)
+    if missing:
+        print(f"INCOMPLETE column {name}: missing {missing}", file=sys.stderr)
+        sys.exit(3)
+    print(f"column {name} complete: {len(have)}/{len(expected)} models")
 
 
 if __name__ == "__main__":

@@ -5,14 +5,14 @@ import pytest
 
 from pathnet_tpu.config import TrainConfig
 from pathnet_tpu.data import ratio_masks
-from pathnet_tpu.models.baselines import BASELINES
+from pathnet_tpu.models.baselines import BASELINES, EXTRA_MODELS
 from pathnet_tpu.models.baselines.zoo import (BaselineSpec, baseline_forward,
                                               build_baseline_graphs,
                                               init_baseline)
 from pathnet_tpu.train.baseline_trainer import run_baseline_round
 
 
-@pytest.mark.parametrize("name", BASELINES)
+@pytest.mark.parametrize("name", BASELINES + EXTRA_MODELS)
 def test_baseline_forward_finite(name, small_graph):
     g = small_graph
     spec = BaselineSpec(name=name, feat_dim=g.features.shape[1], hidden=8,
