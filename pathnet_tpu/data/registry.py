@@ -66,6 +66,19 @@ class DatasetSpec:
     # scripts/calibrate_structure.py), which is why round-2 stand-ins
     # overshot the reference by 10-20 pts.
     label_noise: float = 0.0
+    # fraction of nodes carrying walk-pattern labels (the regime-3 path
+    # channel, synthetic.apply_pattern_channel): to smoothing/feature models
+    # these behave as uniform flips; a path model can decode them from
+    # ordered sampled-walk statistics.  This is the knob that makes the
+    # reference's PathNet>MLP ordering demonstrable on stand-ins — a pure
+    # edgewise field provably bounds sampled paths by full-neighborhood
+    # smoothing (RESULTS.md three-regime section).  Calibrated per dataset
+    # so the path-oracle probe sits ~2x the documented PathNet−MLP gap
+    # above the mix oracle (scripts/calibrate_v3.py).
+    pattern_frac: float = 0.0
+    # smoothing applications for the hidden bit field (0 = iid bits);
+    # smoothing widens per-node pattern margins on high-degree graphs
+    bit_smooth: int = 1
 
 
 # Knob values produced by scripts/calibrate_v2.py (r4 recalibration;
@@ -142,6 +155,10 @@ def payload_fingerprint(spec: DatasetSpec) -> str:
     key = (f"{spec.name}:{spec.num_classes}:{spec.feat_dim}:{spec.homophily}"
            f":{spec.n}:{spec.avg_deg}:{spec.signal}:{spec.structure}"
            f":{spec.offdiag}:{spec.label_noise}")
+    if spec.pattern_frac > 0:
+        # appended only when active so pattern-free payloads keep their
+        # historical fingerprints (r4 artifacts stay valid)
+        key += f":pf{spec.pattern_frac}:bs{spec.bit_smooth}"
     return format(zlib.crc32(key.encode()) & 0xFFFFFFFF, "08x")
 
 
@@ -208,7 +225,9 @@ def load_structure(name: str, data_root: str = "data") -> Graph:
     return synthetic_graph(spec.n, spec.avg_deg, spec.num_classes,
                            spec.homophily, spec.feat_dim, signal=spec.signal,
                            structure=spec.structure, seed=_stable_seed(name),
-                           offdiag=spec.offdiag, label_noise=spec.label_noise)
+                           offdiag=spec.offdiag, label_noise=spec.label_noise,
+                           pattern_frac=spec.pattern_frac,
+                           bit_smooth=spec.bit_smooth)
 
 
 # payload cache: the graph + synthetic payload are deterministic in
@@ -275,7 +294,9 @@ def load_dataset(name: str, data_root: str = "data", round_i: int = 0,
                                              structure=spec.structure,
                                              seed=_stable_seed(name),
                                              offdiag=spec.offdiag,
-                                             label_noise=spec.label_noise)
+                                             label_noise=spec.label_noise,
+                                             pattern_frac=spec.pattern_frac,
+                                             bit_smooth=spec.bit_smooth)
         while len(_PAYLOAD_CACHE) >= _PAYLOAD_CACHE_MAX:
             _PAYLOAD_CACHE.pop(next(iter(_PAYLOAD_CACHE)))
         # the same ndarray objects are handed to every caller across rounds

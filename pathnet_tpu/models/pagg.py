@@ -91,6 +91,14 @@ class PaggSpec:
     #   "auto" — "x" unless the feature row is much wider than the hidden
     #            row (then the X-row gather bytes outweigh the scatter).
     gather_mode: str = "auto"
+    # distance-select formulation (identical math, different XLA programs):
+    #   "mask"   — wl masked [B,H]@[H,H] matmuls accumulated in place
+    #              (one [B,H] temporary; the r1-r4 form)
+    #   "onehot" — one-hot(dist)-gated expansion to [B, wl·H] contracted
+    #              against the stacked weight in a single [B, wl·H]@[wl·H, H]
+    #              MXU matmul (fewer, larger kernels)
+    # default decided by the on-chip probe (results/grad_probe3.json)
+    dist_mode: str = "mask"
 
     def resolved_gather_mode(self) -> str:
         if self.gather_mode != "auto":
@@ -136,18 +144,30 @@ def _dropout(x, rate, train, key):
     return jnp.where(mask, x / keep, 0.0)
 
 
-def _dist_select(params, x_flat, dist_flat, walk_len):
+def _dist_select(params, x_flat, dist_flat, walk_len, mode="mask"):
     """All wl linear transforms + per-element distance selection.
 
-    x_flat [B, H], dist_flat [B] int → [B, H].  Accumulate form: masked sum
-    of per-layer transforms — same math as the reference's
-    wl-GEMMs + stack + advanced-index (PathNet_run.py:186-192), but peak
-    memory is one [B, H] temporary instead of the [B, wl, H] stack (which
-    OOMs 64k-node graphs at full batch).
+    x_flat [B, H], dist_flat [B] int → [B, H].  Same math as the reference's
+    wl-GEMMs + stack + advanced-index (PathNet_run.py:186-192); two
+    formulations (PaggSpec.dist_mode):
+
+    - ``"mask"``: masked sum of per-layer transforms — peak memory one
+      [B, H] temporary instead of the [B, wl, H] stack (which OOMs 64k-node
+      graphs at full batch), but wl separate GEMMs.
+    - ``"onehot"``: gate the input by one_hot(dist) into [B, wl·H] and
+      contract against the stacked [wl·H, H] weight in one MXU matmul —
+      ``out[b] = Σ_k 1[d_b=k]·x_b @ W_k`` exactly, fewer/larger kernels.
     """
     d = jnp.clip(dist_flat, 0, walk_len - 1)
-    out = jnp.zeros((x_flat.shape[0], params["dist"]["w"].shape[2]),
-                    x_flat.dtype)
+    H_in = x_flat.shape[1]
+    H_out = params["dist"]["w"].shape[2]
+    if mode == "onehot":
+        oh = jax.nn.one_hot(d, walk_len, dtype=x_flat.dtype)      # [B, wl]
+        xe = (oh[:, :, None] * x_flat[:, None, :]).reshape(
+            x_flat.shape[0], walk_len * H_in)
+        w = params["dist"]["w"].reshape(walk_len * H_in, H_out)
+        return xe @ w + oh @ params["dist"]["b"]
+    out = jnp.zeros((x_flat.shape[0], H_out), x_flat.dtype)
     for k in range(walk_len):
         zk = x_flat @ params["dist"]["w"][k] + params["dist"]["b"][k]
         out = out + jnp.where((d == k)[:, None], zk, 0.0)
@@ -240,7 +260,8 @@ def pagg_forward(params, X: jnp.ndarray, paths: jnp.ndarray,
         else:
             seq_in, d_in = nei, dists
         sel = _dist_select(params, seq_in.reshape(B * wl, H),
-                           d_in.reshape(B * wl), wl).reshape(T, nw, wl, H)
+                           d_in.reshape(B * wl), wl,
+                           mode=spec.dist_mode).reshape(T, nw, wl, H)
         if spec.variant == "homo":
             sel = jax.nn.relu(sel)
             ego_per_path = sel[:, :, 0, :]           # selected position-0 (:259)

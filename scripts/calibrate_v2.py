@@ -61,13 +61,16 @@ class Payload:
     """Reproduces registry payload generation for arbitrary knob values,
     with the feature draw factored so `signal` rescaling is free."""
 
-    def __init__(self, name, structure, offdiag, label_noise):
+    def __init__(self, name, structure, offdiag, label_noise, rho_eff=None):
         spec = DATASETS[name]
         self.spec = spec
         self.seed = _stable_seed(name)
         self.label_noise = label_noise
-        h_field = field_homophily_for(spec.homophily, label_noise,
-                                      spec.num_classes)
+        # rho_eff: total label-uniformization rate for the homophily
+        # correction (flips + pattern replacement — calibrate_v3)
+        h_field = field_homophily_for(spec.homophily,
+                                      label_noise if rho_eff is None
+                                      else rho_eff, spec.num_classes)
         if spec.edge_file is not None or name in (
                 "chameleon", "squirrel", "film") and _has_real(name):
             g = load_structure(name)

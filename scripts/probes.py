@@ -110,3 +110,78 @@ def oracle_probe(X, y, train, val, test, num_classes, n1, n2=None) -> float:
     if n2 is not None:
         blocks.append(n2.astype(np.float32) * 3.0)
     return logistic_probe(np.hstack(blocks), y, train, val, test, num_classes)
+
+
+def sample_walk_pattern_hist(src: np.ndarray, dst: np.ndarray, n: int,
+                             bits: np.ndarray, num_walks: int = 40,
+                             steps: int = 3, seed: int = 0) -> np.ndarray:
+    """[n, 2^steps] empirical distribution of the bit patterns of
+    ``num_walks`` uniform random walks per node — what a sampled-path model
+    can reconstruct of the planted walk-pattern channel
+    (synthetic.walk_pattern_dist).  Mirrors the plug-in decoder of
+    scripts/pattern_ceiling.py on the symmetrized adjacency."""
+    import scipy.sparse as sp
+    A = sp.coo_matrix((np.ones(len(src)), (src, dst)), shape=(n, n)).tocsr()
+    A = ((A + A.T) > 0)
+    A.setdiag(0)
+    A = A.tocsr()
+    indptr, indices = A.indptr, A.indices
+    rng = np.random.default_rng(seed)
+    cur = np.repeat(np.arange(n), num_walks)
+    pat = np.zeros(n * num_walks, np.int64)
+    alive = np.ones(n * num_walks, bool)
+    prev_bit = bits[cur].astype(np.int64)
+    for _ in range(steps):
+        deg = indptr[cur + 1] - indptr[cur]
+        alive &= deg > 0
+        off = (rng.random(len(cur)) * np.maximum(deg, 1)).astype(np.int64)
+        nxt = np.where(deg > 0,
+                       indices[np.minimum(indptr[cur] + off,
+                                          max(len(indices) - 1, 0))], cur)
+        nxt_bit = bits[nxt].astype(np.int64)
+        # transition patterns (synthetic.walk_pattern_dist): XOR of
+        # consecutive bits along the walk
+        pat = (pat << 1) | np.where(alive, prev_bit ^ nxt_bit, 0)
+        prev_bit = nxt_bit
+        cur = nxt
+    npat = 1 << steps
+    hist = np.zeros((n, npat), np.float32)
+    np.add.at(hist, (np.repeat(np.arange(n), num_walks), pat),
+              alive.astype(np.float32))
+    return hist / max(num_walks, 1)
+
+
+def decoder_features(hist: np.ndarray, steps: int = 3) -> np.ndarray:
+    """[n, M] gated plug-in decoder block for the planted pattern channel:
+    for each node, the one-hot of its dominant *mixed* pattern scaled by the
+    empirical margin (top1−top2 of the mixed bins).
+
+    A flat-histogram feature alone cannot express the channel to a LINEAR
+    probe — the pattern label applies only to the margin-selected S nodes,
+    and ungated histogram scores hurt on the non-S majority (measured: Dblp
+    headroom 0.9 pts flat vs 6.6 gated).  The gate (confidence ≈
+    S-membership) is exactly what a nonlinear trained model can compute."""
+    from pathnet_tpu.data.synthetic import mixed_patterns
+    mixed = mixed_patterns(steps)
+    hm = hist[:, mixed]
+    srt = np.sort(hm, axis=1)
+    margin = srt[:, -1] - srt[:, -2]
+    G = np.zeros_like(hm)
+    G[np.arange(len(hm)), hm.argmax(axis=1)] = margin
+    return G
+
+
+def path_oracle_probe(X, y, train, val, test, num_classes, n1, n2,
+                      hist) -> float:
+    """Path-information upper proxy: the mix oracle plus the sampled-walk
+    pattern histogram and its gated plug-in decoder block
+    (:func:`decoder_features`).  The probe learns the pattern→class map
+    from data (C×6 weights), as a trained path model would — this probe
+    minus :func:`oracle_probe` is the decodable path-only headroom the
+    trained PathNet competes for."""
+    s = centroid_scores(X, y, train, num_classes)
+    F = np.hstack([s, n1.astype(np.float32) * 3.0,
+                   n2.astype(np.float32) * 3.0,
+                   hist.astype(np.float32) * 3.0,
+                   decoder_features(hist) * 10.0])
+    return logistic_probe(F, y, train, val, test, num_classes)
