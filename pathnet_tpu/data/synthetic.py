@@ -375,10 +375,11 @@ def pattern_blend(y: np.ndarray, q: np.ndarray, num_classes: int,
     return y2, S
 
 
-# amplitude of the bit channel added to the last feature column; fixed (not
-# a calibration knob) so the bit is cleanly separable per node at any
-# payload's noise level
+# amplitudes of the bit / S-mark channels added to the last two feature
+# columns; fixed (not calibration knobs) so both are cleanly separable per
+# node at any payload's noise level
 PATTERN_BIT_AMP = 3.0
+PATTERN_MARK_AMP = 3.0
 PATTERN_STEPS = 3
 
 
@@ -386,13 +387,24 @@ def apply_pattern_channel(src, dst, n, y_obs, x, num_classes, pattern_frac,
                           bit_smooth, seed):
     """Plant the regime-3 path-pattern channel into an existing payload:
     hidden bits (exposed in the last feature column), walk-pattern labels on
-    the top-margin ``pattern_frac`` of nodes.  Mutates nothing; returns
-    ``(y, x, S)``."""
+    the top-margin ``pattern_frac`` of nodes, and an S-membership mark in
+    the second-to-last column.
+
+    The mark is deliberate and fair: S-membership rank is a continuous graph
+    statistic, and without the mark *no* model can tell a just-inside from a
+    just-outside node, so the channel's headroom is eaten by identification
+    ambiguity rather than by the order-decoding ability under test
+    (measured: Dblp path-probe headroom ~0 unmarked vs ~frac·decodability
+    marked).  Order-blind models see the mark too — they learn S's class
+    *prior*, but which same-popcount pattern (hence class) a node carries
+    remains readable only from ordered walk statistics.  Mutates nothing;
+    returns ``(y, x, S)``."""
     bits = graph_bits(src, dst, n, seed + 3, smooth=bit_smooth)
     q = walk_pattern_dist(src, dst, n, bits, steps=PATTERN_STEPS)
     y2, S = pattern_blend(y_obs, q, num_classes, pattern_frac, seed + 4)
     x2 = x.copy()
     x2[:, -1] += PATTERN_BIT_AMP * (2.0 * bits - 1.0)
+    x2[:, -2] += PATTERN_MARK_AMP * (2.0 * S.astype(np.float32) - 1.0)
     return y2, x2, S
 
 

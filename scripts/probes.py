@@ -151,23 +151,26 @@ def sample_walk_pattern_hist(src: np.ndarray, dst: np.ndarray, n: int,
     return hist / max(num_walks, 1)
 
 
-def decoder_features(hist: np.ndarray, steps: int = 3) -> np.ndarray:
+def decoder_features(hist: np.ndarray, mark: np.ndarray,
+                     steps: int = 3) -> np.ndarray:
     """[n, M] gated plug-in decoder block for the planted pattern channel:
-    for each node, the one-hot of its dominant *mixed* pattern scaled by the
-    empirical margin (top1−top2 of the mixed bins).
+    for each *marked* node, the one-hot of its dominant *mixed* pattern
+    scaled by the empirical margin (top1−top2 of the mixed bins).
 
     A flat-histogram feature alone cannot express the channel to a LINEAR
-    probe — the pattern label applies only to the margin-selected S nodes,
-    and ungated histogram scores hurt on the non-S majority (measured: Dblp
-    headroom 0.9 pts flat vs 6.6 gated).  The gate (confidence ≈
-    S-membership) is exactly what a nonlinear trained model can compute."""
+    probe — the pattern label applies only to the S nodes, and ungated
+    histogram scores hurt on the non-S majority (measured: Dblp headroom
+    ~0 ungated).  The S-mark is feature-visible by construction
+    (synthetic.apply_pattern_channel), so the gate mirrors what any model
+    can compute; only the *order decoding* inside the gate is path-
+    exclusive."""
     from pathnet_tpu.data.synthetic import mixed_patterns
     mixed = mixed_patterns(steps)
     hm = hist[:, mixed]
     srt = np.sort(hm, axis=1)
     margin = srt[:, -1] - srt[:, -2]
     G = np.zeros_like(hm)
-    G[np.arange(len(hm)), hm.argmax(axis=1)] = margin
+    G[np.arange(len(hm)), hm.argmax(axis=1)] = (0.1 + margin) * (mark > 0)
     return G
 
 
@@ -175,7 +178,8 @@ def path_oracle_probe(X, y, train, val, test, num_classes, n1, n2,
                       hist) -> float:
     """Path-information upper proxy: the mix oracle plus the sampled-walk
     pattern histogram and its gated plug-in decoder block
-    (:func:`decoder_features`).  The probe learns the pattern→class map
+    (:func:`decoder_features`; the S-mark is read from the payload's
+    second-to-last feature column).  The probe learns the pattern→class map
     from data (C×6 weights), as a trained path model would — this probe
     minus :func:`oracle_probe` is the decodable path-only headroom the
     trained PathNet competes for."""
@@ -183,5 +187,5 @@ def path_oracle_probe(X, y, train, val, test, num_classes, n1, n2,
     F = np.hstack([s, n1.astype(np.float32) * 3.0,
                    n2.astype(np.float32) * 3.0,
                    hist.astype(np.float32) * 3.0,
-                   decoder_features(hist) * 10.0])
+                   decoder_features(hist, np.asarray(X)[:, -2]) * 10.0])
     return logistic_probe(F, y, train, val, test, num_classes)

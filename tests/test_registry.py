@@ -86,3 +86,65 @@ def test_payload_cache_returns_identical_graph():
     g0, *_ = load_dataset("cornell", data_root="data", round_i=0)
     g1, *_ = load_dataset("cornell", data_root="data", round_i=3)
     assert g0 is g1
+
+
+def test_pattern_channel_plants_decodable_marked_labels():
+    """r5 pattern channel (synthetic.apply_pattern_channel): S fraction,
+    mark/bit feature columns, label replacement drawn from the mixed
+    patterns, and fingerprint sensitivity to the new knobs."""
+    import dataclasses
+
+    from pathnet_tpu.data.registry import DATASETS, payload_fingerprint
+    from pathnet_tpu.data.synthetic import (PATTERN_BIT_AMP,
+                                            PATTERN_MARK_AMP,
+                                            apply_pattern_channel,
+                                            mixed_patterns, synthetic_graph)
+
+    g = synthetic_graph(n=400, avg_deg=6, num_classes=4, homophily=0.4,
+                        feat_dim=16, seed=5)
+    y2, x2, S = apply_pattern_channel(g.src, g.dst, g.n, g.labels,
+                                      g.features, 4, pattern_frac=0.2,
+                                      bit_smooth=1, seed=5)
+    assert abs(S.mean() - 0.2) < 0.01
+    # mark column separates S cleanly; bit column is ±amp shifted
+    mark = x2[:, -2] - g.features[:, -2]
+    np.testing.assert_allclose(np.abs(mark), PATTERN_MARK_AMP, rtol=1e-5)
+    assert ((mark > 0) == S).all()
+    bit = x2[:, -1] - g.features[:, -1]
+    np.testing.assert_allclose(np.abs(bit), PATTERN_BIT_AMP, rtol=1e-5)
+    # non-S labels untouched
+    assert (y2[~S] == g.labels[~S]).all()
+    assert set(np.unique(y2[S])) <= set(range(4))
+    assert len(mixed_patterns(3)) == 6
+
+    # fingerprint: pattern knobs only change it when active
+    spec = DATASETS["Dblp"]
+    base = dataclasses.replace(spec, pattern_frac=0.0)
+    assert payload_fingerprint(base) != payload_fingerprint(spec)
+    assert payload_fingerprint(dataclasses.replace(spec, pattern_frac=0.2)) \
+        != payload_fingerprint(spec)
+    assert payload_fingerprint(dataclasses.replace(base, bit_smooth=9)) \
+        == payload_fingerprint(base)
+
+
+def test_pattern_channel_probe_headroom_smoke():
+    """The planted channel is decodable: on a small payload the gated
+    path-decoder agreement on S beats the 1/6 pattern chance level."""
+    import sys as _sys
+
+    from pathnet_tpu.data.synthetic import (graph_bits, mixed_patterns,
+                                            pattern_blend, synthetic_graph,
+                                            walk_pattern_dist)
+
+    g = synthetic_graph(n=600, avg_deg=6, num_classes=4, homophily=0.4,
+                        feat_dim=16, seed=7)
+    bits = graph_bits(g.src, g.dst, g.n, 10, smooth=1)
+    q = walk_pattern_dist(g.src, g.dst, g.n, bits, 3)
+    y2, S = pattern_blend(g.labels, q, 4, 0.15, 11)
+    _sys.path.insert(0, "scripts")
+    from probes import sample_walk_pattern_hist
+    hist = sample_walk_pattern_hist(g.src, g.dst, g.n, bits, num_walks=40,
+                                    seed=12)
+    mixed = mixed_patterns(3)
+    agree = (hist[:, mixed][S].argmax(1) == q[:, mixed][S].argmax(1)).mean()
+    assert agree > 0.5, agree
