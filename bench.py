@@ -162,22 +162,26 @@ def bench_training(g, nw, wl):
         dt = min(times)
         return dt / epochs_tr * 1000, flops_total / dt if dt else 0.0, compile_s
 
-    ms_epoch, achieved, compile_s = measure(spec)
+    # headline = bf16 (the large-protocol default since r4: 25% faster at
+    # identical accuracy bands) with the onehot dist-select and mb=8192
+    # probe winners (results/grad_probe3.json); f32 kept as the parity row
+    ms_bf16, achieved, compile_s = measure(
+        dataclasses.replace(spec, compute_dtype="bfloat16"))
     cache_hit = compile_s < 30.0  # persistent-cache hits skip XLA entirely
-    ms_bf16, _, _ = measure(dataclasses.replace(spec,
-                                                compute_dtype="bfloat16"))
+    ms_f32, achieved_f32, _ = measure(spec)
     # v5e peak: 197 TFLOP/s bf16; f32 matmul ≈ 1/4 of bf16 peak
-    mfu = achieved / 49.2e12
+    mfu = achieved / 197e12
     print(f"# train: compile {compile_s:.1f}s (cache_hit={cache_hit}), "
-          f"{ms_epoch:.0f} ms/epoch f32 / {ms_bf16:.0f} ms bf16, "
-          f"{achieved / 1e12:.2f} TFLOP/s (mfu_f32 {mfu:.3f})",
+          f"{ms_bf16:.0f} ms/epoch bf16 / {ms_f32:.0f} ms f32 parity, "
+          f"{achieved / 1e12:.2f} TFLOP/s (mfu_bf16 {mfu:.3f})",
           file=sys.stderr)
     return {
-        "train_ms_per_epoch": round(ms_epoch, 1),
-        "train_ms_per_epoch_bf16": round(ms_bf16, 1),
-        "train_epochs_per_s": round(1000.0 / ms_epoch, 2) if ms_epoch else 0,
+        "train_ms_per_epoch": round(ms_bf16, 1),
+        "train_dtype": "bfloat16",
+        "train_ms_per_epoch_f32": round(ms_f32, 1),
+        "train_epochs_per_s": round(1000.0 / ms_bf16, 2) if ms_bf16 else 0,
         "train_achieved_tflops": round(achieved / 1e12, 2),
-        "train_mfu_f32": round(mfu, 3),
+        "train_mfu_bf16": round(mfu, 3),
         "train_compile_s": round(compile_s, 1),
         "compile_cache_hit": cache_hit,
     }

@@ -109,8 +109,8 @@ DATASETS: Dict[str, DatasetSpec] = {
                             edge_file="citeseer.in", val_size=1879,
                             signal=4.25, structure=0.9, label_noise=0.204),
     "Nba": DatasetSpec("Nba", "hetero", "random", 2, 96, 0.39,
-                       edge_file="Nba.in", signal=1.43, structure=0.9,
-                       label_noise=0.35),
+                       edge_file="Nba.in", signal=3.16, structure=0.9,
+                       label_noise=0.35, pattern_frac=0.45, bit_smooth=3),
     "pubmed": DatasetSpec("pubmed", "homo", "fixed", 3, 500, 0.80,
                           n=19717, avg_deg=4.5, val_size=6310, large=True,
                           signal=4.03, label_noise=0.136),

@@ -97,8 +97,11 @@ class PaggSpec:
     #   "onehot" — one-hot(dist)-gated expansion to [B, wl·H] contracted
     #              against the stacked weight in a single [B, wl·H]@[wl·H, H]
     #              MXU matmul (fewer, larger kernels)
-    # default decided by the on-chip probe (results/grad_probe3.json)
-    dist_mode: str = "mask"
+    # default "onehot": measured ~9% faster on the full-train-set grad at
+    # bgp scale (mask 491/510 ms vs onehot 448/463 ms at mb 8192/16384,
+    # results/grad_probe3.json); f64-identical math (fp-order differs ~5e-4
+    # in f32).  The quirk-compat golden path keeps "mask".
+    dist_mode: str = "onehot"
 
     def resolved_gather_mode(self) -> str:
         if self.gather_mode != "auto":

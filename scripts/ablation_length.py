@@ -35,12 +35,16 @@ def main():
     import jax
 
     out_path = f"results/ablation_length_{name}.json"
+    from pathnet_tpu.data.registry import DATASETS, payload_fingerprint
+    fp = payload_fingerprint(DATASETS[name])
     prev = {}
     if os.path.exists(out_path):
         p = json.load(open(out_path))
-        # resume only a run of the same protocol on the same platform
+        # resume only a run of the same protocol on the same platform and
+        # the same payload calibration (stale-artifact guard, VERDICT r3 #5)
         if (p.get("rounds") == rounds and p.get("epochs") == epochs
-                and p.get("platform") == jax.devices()[0].platform):
+                and p.get("platform") == jax.devices()[0].platform
+                and p.get("payload", fp) == fp):
             prev = {int(k): v for k, v in p.get("accuracy_by_len", {}).items()}
     rows = [(wl, m, s) for wl, (m, s) in sorted(prev.items())]
 
@@ -49,6 +53,7 @@ def main():
         with open(out_path, "w") as f:
             json.dump({"dataset": name, "rounds": rounds, "epochs": epochs,
                        "platform": jax.devices()[0].platform,
+                       "payload": fp,
                        "ts": time.time(),
                        "accuracy_by_len": {wl: [m, s] for wl, m, s in rows}},
                       f, indent=2)

