@@ -79,6 +79,9 @@ class DatasetSpec:
     # smoothing applications for the hidden bit field (0 = iid bits);
     # smoothing widens per-node pattern margins on high-degree graphs
     bit_smooth: int = 1
+    # pattern alphabet: "raw" walk bits (first-order, LSTM-friendly) or
+    # "xor" transitions (flip-invariant) — see synthetic.walk_pattern_dist
+    pattern_kind: str = "xor"
 
 
 # Knob values produced by scripts/calibrate_v2.py (r4 recalibration;
@@ -160,6 +163,8 @@ def payload_fingerprint(spec: DatasetSpec) -> str:
         # appended only when active so pattern-free payloads keep their
         # historical fingerprints (r4 artifacts stay valid)
         key += f":pf{spec.pattern_frac}:bs{spec.bit_smooth}"
+        if spec.pattern_kind != "xor":
+            key += f":pk{spec.pattern_kind}"
     return format(zlib.crc32(key.encode()) & 0xFFFFFFFF, "08x")
 
 
@@ -228,7 +233,8 @@ def load_structure(name: str, data_root: str = "data") -> Graph:
                            structure=spec.structure, seed=_stable_seed(name),
                            offdiag=spec.offdiag, label_noise=spec.label_noise,
                            pattern_frac=spec.pattern_frac,
-                           bit_smooth=spec.bit_smooth)
+                           bit_smooth=spec.bit_smooth,
+                           pattern_kind=spec.pattern_kind)
 
 
 # payload cache: the graph + synthetic payload are deterministic in
@@ -297,7 +303,8 @@ def load_dataset(name: str, data_root: str = "data", round_i: int = 0,
                                              offdiag=spec.offdiag,
                                              label_noise=spec.label_noise,
                                              pattern_frac=spec.pattern_frac,
-                                             bit_smooth=spec.bit_smooth)
+                                             bit_smooth=spec.bit_smooth,
+                                             pattern_kind=spec.pattern_kind)
         while len(_PAYLOAD_CACHE) >= _PAYLOAD_CACHE_MAX:
             _PAYLOAD_CACHE.pop(next(iter(_PAYLOAD_CACHE)))
         # the same ndarray objects are handed to every caller across rounds

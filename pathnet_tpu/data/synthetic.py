@@ -283,23 +283,33 @@ def graph_bits(src: np.ndarray, dst: np.ndarray, n: int, seed: int,
 
 
 def walk_pattern_dist(src: np.ndarray, dst: np.ndarray, n: int,
-                      bits: np.ndarray, steps: int = 3) -> np.ndarray:
+                      bits: np.ndarray, steps: int = 3,
+                      kind: str = "xor") -> np.ndarray:
     """``q[u, p]`` = probability that a uniform random walk of ``steps``
-    steps from ``u`` produces the bit-*transition* sequence ``p``
-    (``t_i = b(v_{i-1}) XOR b(v_i)``, t_1 = MSB).
+    steps from ``u`` produces bit pattern ``p`` (step 1 = MSB).
 
     The regime-3 generative statistic (cf. the paper's gen_cora_syn.cpp
     parity patterns, results/ablation_pattern.json): an *ordered* functional
-    of the walk distribution.  Transitions — not raw bits — because the XOR
-    sequence is invariant under a global bit flip, so a node's own (feature-
-    visible) bit is symmetric w.r.t. its pattern class and leaks nothing to
-    a feature-only model (measured: raw-bit patterns with smoothed fields
-    lifted the Nba feat probe 7 pts above its anchor).  Computed exactly via
-    the suffix recursion ``h_k = P ⊙ [b(v)⊕b(w)=t_k] @ h_{k+1}``, i.e.
-    ``mask_a * (A @ (mask_{a⊕t} * h))`` summed over source bit a.
+    of the walk distribution.  Two pattern alphabets:
+
+    - ``"xor"`` — transitions ``t_i = b(v_{i-1}) XOR b(v_i)``: invariant
+      under a global bit flip, so a node's own (feature-visible) bit leaks
+      nothing (measured: raw all-8-pattern channels with smoothed fields
+      lifted the Nba feat probe 7 pts above its anchor).  Requires the
+      learner to form a second-order temporal feature.
+    - ``"raw"`` — the visited nodes' bits ``b(v_i)`` themselves: first-order
+      per-position reads, markedly easier for the LSTM to learn.  Combined
+      with the mixed-pattern restriction + same-popcount→different-class
+      map (:func:`pattern_blend`), the class stays order-exclusive (a bit
+      marginal only narrows the popcount group).
+
+    Computed exactly via suffix recursions in ≤ 2^(steps+2) sparse mat-vecs.
     """
     A, Dinv = _sym_norm_adj(src, dst, n)
     masks = [(bits == 0).astype(np.float32), (bits == 1).astype(np.float32)]
+
+    def raw_apply(b, v):
+        return Dinv * (A @ (masks[b] * v))
 
     def trans_apply(t, v):
         """(P restricted to transitions of parity t) @ v."""
@@ -308,12 +318,13 @@ def walk_pattern_dist(src: np.ndarray, dst: np.ndarray, n: int,
             out += masks[a] * (A @ (masks[a ^ t] * v))
         return Dinv * out
 
+    apply_fn = raw_apply if kind == "raw" else trans_apply
     fs = {(): np.ones(n, np.float32)}
     for _ in range(steps):
         nxt = {}
         for suf, v in fs.items():
             for t in (0, 1):
-                nxt[(t,) + suf] = trans_apply(t, v)
+                nxt[(t,) + suf] = apply_fn(t, v)
         fs = nxt
     q = np.zeros((n, 2 ** steps), np.float32)
     for pat, v in fs.items():
@@ -384,7 +395,7 @@ PATTERN_STEPS = 3
 
 
 def apply_pattern_channel(src, dst, n, y_obs, x, num_classes, pattern_frac,
-                          bit_smooth, seed):
+                          bit_smooth, seed, pattern_kind: str = "xor"):
     """Plant the regime-3 path-pattern channel into an existing payload:
     hidden bits (exposed in the last feature column), walk-pattern labels on
     the top-margin ``pattern_frac`` of nodes, and an S-membership mark in
@@ -400,7 +411,8 @@ def apply_pattern_channel(src, dst, n, y_obs, x, num_classes, pattern_frac,
     remains readable only from ordered walk statistics.  Mutates nothing;
     returns ``(y, x, S)``."""
     bits = graph_bits(src, dst, n, seed + 3, smooth=bit_smooth)
-    q = walk_pattern_dist(src, dst, n, bits, steps=PATTERN_STEPS)
+    q = walk_pattern_dist(src, dst, n, bits, steps=PATTERN_STEPS,
+                          kind=pattern_kind)
     y2, S = pattern_blend(y_obs, q, num_classes, pattern_frac, seed + 4)
     x2 = x.copy()
     x2[:, -1] += PATTERN_BIT_AMP * (2.0 * bits - 1.0)
@@ -415,7 +427,8 @@ def attach_synthetic_payload(g: Graph, num_classes: int = 5, feat_dim: int = 128
                              offdiag: str = "shift",
                              label_noise: float = 0.0,
                              pattern_frac: float = 0.0,
-                             bit_smooth: int = 1) -> Graph:
+                             bit_smooth: int = 1,
+                             pattern_kind: str = "xor") -> Graph:
     """Attach deterministic synthetic labels + features to a real structure.
 
     ``n_train`` defaults to the protocol's 48% train fraction
@@ -446,7 +459,8 @@ def attach_synthetic_payload(g: Graph, num_classes: int = 5, feat_dim: int = 128
     y = flip_labels(y_true, label_noise, num_classes, seed + 2)
     if pattern_frac > 0:
         y, x, _ = apply_pattern_channel(g.src, g.dst, g.n, y, x, num_classes,
-                                        pattern_frac, bit_smooth, seed)
+                                        pattern_frac, bit_smooth, seed,
+                                        pattern_kind)
     return Graph(n=g.n, src=g.src, dst=g.dst, prob=g.prob,
                  features=x, labels=y, name=g.name or "synthetic")
 
@@ -458,7 +472,8 @@ def synthetic_graph(n: int, avg_deg: float, num_classes: int = 5,
                     offdiag: str = "shift",
                     label_noise: float = 0.0,
                     pattern_frac: float = 0.0,
-                    bit_smooth: int = 1) -> Graph:
+                    bit_smooth: int = 1,
+                    pattern_kind: str = "xor") -> Graph:
     """SBM-flavored random graph drawn from a class-compatibility matrix.
 
     Labels first; each undirected edge picks endpoint ``u`` uniformly and the
@@ -493,7 +508,7 @@ def synthetic_graph(n: int, avg_deg: float, num_classes: int = 5,
     if pattern_frac > 0:
         y_obs, x, _ = apply_pattern_channel(src, dst, n, y_obs, x,
                                             num_classes, pattern_frac,
-                                            bit_smooth, seed)
+                                            bit_smooth, seed, pattern_kind)
     return Graph(n=n, src=src, dst=dst, prob=np.ones(len(src)),
                  features=x, labels=y_obs, name=f"sbm_n{n}")
 

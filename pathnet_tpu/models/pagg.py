@@ -287,10 +287,20 @@ def pagg_forward(params, X: jnp.ndarray, paths: jnp.ndarray,
         cat = jnp.concatenate([h_n, ego_per_path], axis=-1)
         score = cat @ params["attw"]["w"] + params["attw"]["b"]
         if spec.variant == "hetero":
+            # intended semantics: softmax-weighted SUM (the weights already
+            # normalize over paths).  The reference takes a further mean
+            # over the path axis (PathNet_run.py:203-204), scaling the path
+            # branch 1/nw against the ego branch — under weight decay the
+            # L2 equilibrium then caps what the path branch can contribute,
+            # and the trained model ignores decodable path signal
+            # (measured: 0.643 vs 0.704 on a planted-channel payload where
+            # MLP=0.657 — results/attention_scale_probe.json).  The quirk
+            # path reproduces the reference's mean scaling byte-for-byte.
             att = jax.nn.softmax(jax.nn.leaky_relu(score), axis=1)
+            h_agg = jnp.sum(att * h_n, axis=1)
         else:
             att = 1.0 + score
-        h_agg = jnp.mean(att * h_n, axis=1)
+            h_agg = jnp.mean(att * h_n, axis=1)
     elif spec.agg == "mean":
         h_agg = jnp.mean(h_n, axis=1)
     else:

@@ -43,13 +43,15 @@ def main():
                            distance_backend="khop")
     build_sampler_s = time.time() - t0
     fell_back = ps.khop is None
-    sample = jax.jit(ps.sample)
+    # pass the sampler as an ARGUMENT: jitting the bound method captures the
+    # multi-GB tables as program constants (4 GB through the compile tunnel)
+    sample = jax.jit(lambda p, k: p.sample(k))
 
     key = jax.random.PRNGKey(0)
     # scalar readback forces completion (array block_until_ready lies on
     # this backend — PERF.md r4)
     t0 = time.time()
-    paths, dists = sample(key)
+    paths, dists = sample(ps, key)
     cs = int(np.asarray(dists.sum(), dtype=np.int64)) + int(
         np.asarray(paths[-1, -1, -1]))
     compile_s = time.time() - t0
@@ -57,7 +59,7 @@ def main():
     ts = []
     for i in range(reps):
         t0 = time.time()
-        paths, dists = sample(jax.random.fold_in(key, i))
+        paths, dists = sample(ps, jax.random.fold_in(key, i))
         cs = int(np.asarray(dists.sum(), dtype=np.int64))
         ts.append(time.time() - t0)
     ms = sorted(ts)[len(ts) // 2] * 1e3

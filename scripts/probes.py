@@ -114,7 +114,8 @@ def oracle_probe(X, y, train, val, test, num_classes, n1, n2=None) -> float:
 
 def sample_walk_pattern_hist(src: np.ndarray, dst: np.ndarray, n: int,
                              bits: np.ndarray, num_walks: int = 40,
-                             steps: int = 3, seed: int = 0) -> np.ndarray:
+                             steps: int = 3, seed: int = 0,
+                             kind: str = "xor") -> np.ndarray:
     """[n, 2^steps] empirical distribution of the bit patterns of
     ``num_walks`` uniform random walks per node — what a sampled-path model
     can reconstruct of the planted walk-pattern channel
@@ -139,9 +140,10 @@ def sample_walk_pattern_hist(src: np.ndarray, dst: np.ndarray, n: int,
                        indices[np.minimum(indptr[cur] + off,
                                           max(len(indices) - 1, 0))], cur)
         nxt_bit = bits[nxt].astype(np.int64)
-        # transition patterns (synthetic.walk_pattern_dist): XOR of
-        # consecutive bits along the walk
-        pat = (pat << 1) | np.where(alive, prev_bit ^ nxt_bit, 0)
+        # pattern alphabet mirrors synthetic.walk_pattern_dist: raw visited
+        # bits, or XOR of consecutive bits along the walk
+        sym = nxt_bit if kind == "raw" else (prev_bit ^ nxt_bit)
+        pat = (pat << 1) | np.where(alive, sym, 0)
         prev_bit = nxt_bit
         cur = nxt
     npat = 1 << steps
