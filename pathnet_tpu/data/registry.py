@@ -118,8 +118,9 @@ DATASETS: Dict[str, DatasetSpec] = {
                           n=19717, avg_deg=4.5, val_size=6310, large=True,
                           signal=4.03, label_noise=0.136),
     "bgp": DatasetSpec("bgp", "hetero", "random", 8, 287, 0.37,
-                       n=63977, avg_deg=10.0, large=True, signal=4.06,
-                       structure=0.9, label_noise=0.335),
+                       n=63977, avg_deg=10.0, large=True, signal=4.8,
+                       structure=0.9, label_noise=0.335,
+                       pattern_frac=0.205, bit_smooth=1),
     "Electronics": DatasetSpec("Electronics", "hetero", "random", 10, 8669, 0.25,
                                n=42318, avg_deg=8.0, large=True, signal=4.45,
                                structure=0.9, label_noise=0.2),

@@ -37,6 +37,8 @@ def main():
     bytes_total = sum(int(t.size) * 4 for t in tables)
     print(f"khop tables: widths={widths} build={build_s:.1f}s "
           f"mem={bytes_total / 1e9:.2f} GB", flush=True)
+    del tables   # free HBM before the sampler builds its own (or falls back
+                 # to the dense table; double residency thrashes the chip)
 
     t0 = time.time()
     ps = PathSampler.build(g, num_walks=nw, walk_len=wl, kind="merw",

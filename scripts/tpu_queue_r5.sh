@@ -29,16 +29,19 @@ qrun 4000 $R -data Nba -e 1000 -r 10 -hid 256 --resume
 qrun 1200 $R -data Nba -e 1000 -r 10 -hid 256 --model mlp --resume
 qrun 6000 $R -data Dblp -e 1000 -r 10 --resume
 qrun 1800 $R -data Dblp -e 1000 -r 10 --model mlp --resume
-qrun 9000 $R -data bgp -e 1000 -r 10 --dtype bfloat16 --microbatch 16384 --resume
+qrun 9000 $R -data bgp -e 1000 -r 10 --dtype bfloat16 --microbatch 8192 --resume
 qrun 2400 $R -data bgp -e 1000 -r 10 --model mlp --resume
-qrun 9000 $R -data Electronics -e 1000 -r 10 -hid 32 --dtype bfloat16 --microbatch 16384 --resume
-qrun 2400 $R -data Electronics -e 1000 -r 10 --model mlp --resume
 
 # --- 2: comparison columns (PathNet/mlp seeded from the protocol rows
 # above; large tier at reduced rounds, disclosed in the artifact header)
 qrun 7200 python scripts/comparison_table.py Nba 10 1000
 qrun 7200 python scripts/comparison_table.py Dblp 3 1000
 qrun 7200 python scripts/comparison_table.py bgp 3 1000
+
+# Electronics last of the large tier: its calibration lands after the
+# others (8669-dim probe cost); each queue item re-reads the registry
+qrun 9000 $R -data Electronics -e 1000 -r 10 -hid 32 --dtype bfloat16 --microbatch 8192 --resume
+qrun 2400 $R -data Electronics -e 1000 -r 10 --model mlp --resume
 qrun 7200 python scripts/comparison_table.py Electronics 2 500
 
 # --- 3: walk-length ablations on pattern payloads (reference shape:
@@ -53,7 +56,8 @@ qrun 7200 python scripts/comparison_table.py chameleon 10 500
 qrun 10000 python scripts/comparison_table.py film 10 1000
 qrun 14000 python scripts/comparison_table.py pubmed 10 1000
 
-# --- 5: bench + render
+# --- 5: khop-at-scale probe (VERDICT #6) + bench + render
+qrun 2400 python scripts/khop_scale_probe.py
 qrun 3000 python bench.py
 JAX_PLATFORMS=cpu qrun 1200 python scripts/render_comparison.py || true
 
