@@ -77,6 +77,7 @@ def main():
 
     tables = {}
     meta = {}
+    seeded = {}
     for path in sorted(glob.glob("results/comparison_*.json")):
         d = json.load(open(path))
         name = d["dataset"]
@@ -85,7 +86,10 @@ def main():
         stale = d.get("payload") != cur_fp
         tables[name] = d.get("accuracy", {})
         meta[name] = (d.get("platform"), d.get("rounds"), d.get("epochs"),
+                      d.get("payload"),
                       "STALE-PAYLOAD" if stale else "current")
+        if d.get("seeded"):
+            seeded[name] = d["seeded"]
 
     cols = [c for c in COL_ORDER if c in tables]
     out = ["# COMPARISON — PathNet + baseline zoo, test accuracy % "
@@ -105,8 +109,16 @@ def main():
             v = tables[c].get(key) or tables[c].get(label)
             cells.append(f"{100*v[0]:.2f}±{100*v[1]:.2f}" if v else "—")
         out.append(f"| {label} | " + " | ".join(cells) + " |")
-    out += ["", "Run meta (platform, rounds, epochs): " + ", ".join(
-        f"{c}={meta[c]}" for c in cols), ""]
+    out += ["", "Run meta (platform, rounds, epochs, payload fingerprint): "
+            + ", ".join(f"{c}={meta[c]}" for c in cols), ""]
+    if seeded:
+        out += ["PathNet/MLP rows seeded from full-protocol runs (their own "
+                "config, per-dataset reference settings): " + "; ".join(
+                    f"{c}: " + ", ".join(
+                        f"{m}(hid={v.get('hidden_size')},dr={v.get('dropout')}"
+                        f",dtype={v.get('dtype')},r={v.get('round')})"
+                        for m, v in s.items())
+                    for c, s in sorted(seeded.items())), ""]
 
     ref_cols = [c for c in COL_ORDER if any(c in r for r in
                                             REFERENCE.values())]
