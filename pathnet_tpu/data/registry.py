@@ -85,8 +85,11 @@ class DatasetSpec:
 
 
 # Knob values produced by scripts/calibrate_v2.py (r4 recalibration;
-# results/calibration_v2.json carries the measured feat/oracle/homophily of
-# every choice).  Anchors: centroid-score logistic probe on features ==
+# results/calibration_v2.json) and, for the heterophily family,
+# scripts/calibrate_v3.py (r5: the walk-pattern channel —
+# results/calibration_v3.json records feat / mix-oracle / path-oracle per
+# choice; the path-oracle sits a calibrated margin above the mix oracle, so
+# the reference's PathNet-over-smoothing ordering is demonstrable).  Anchors: centroid-score logistic probe on features ==
 # documented MLP row; probe given observed 1/2-hop neighbor class mixes
 # (the structure oracle) >= feat + 3 pts wherever the graph supports it;
 # label-noise ceiling ~ documented PathNet row + 5.  The r3 values were
@@ -162,8 +165,12 @@ def payload_fingerprint(spec: DatasetSpec) -> str:
            f":{spec.offdiag}:{spec.label_noise}")
     if spec.pattern_frac > 0:
         # appended only when active so pattern-free payloads keep their
-        # historical fingerprints (r4 artifacts stay valid)
-        key += f":pf{spec.pattern_frac}:bs{spec.bit_smooth}"
+        # historical fingerprints (r4 artifacts stay valid).  "v2" = the
+        # blend's generation version (stratified per-pattern selection,
+        # measure-aligned q) — bumped when the generation code changes so
+        # checkpoints/rows from an earlier blend can never be resumed into
+        # a recalibrated payload.
+        key += f":pf{spec.pattern_frac}:bs{spec.bit_smooth}:v2"
         if spec.pattern_kind != "xor":
             key += f":pk{spec.pattern_kind}"
     return format(zlib.crc32(key.encode()) & 0xFFFFFFFF, "08x")

@@ -282,9 +282,29 @@ def graph_bits(src: np.ndarray, dst: np.ndarray, n: int, seed: int,
     return (r > np.median(r)).astype(np.int8)
 
 
+def _walk_operator(src, dst, n, prob=None):
+    """Row-stochastic walk operator.  ``prob=None`` → uniform RW on the
+    symmetrized self-loop-free adjacency; else the *actual* directed
+    weighted transition structure (e.g. MERW probs from a real edge file,
+    self-loops included) — the measure the on-device sampler walks.
+    Mismatched measures break the channel on real graphs (Nba: sampled-vs-
+    generative argmax agreement 0.37 under MERW vs labels defined under
+    uniform; aligned measures restore it)."""
+    import scipy.sparse as sp
+
+    if prob is None:
+        return _sym_norm_adj(src, dst, n)
+    P = sp.coo_matrix((prob.astype(np.float64), (src, dst)),
+                      shape=(n, n)).tocsr()
+    P.sum_duplicates()
+    rows = np.asarray(P.sum(axis=1)).ravel()
+    return P.astype(np.float32), (1.0 / np.maximum(rows, 1e-12)).astype(
+        np.float32)
+
+
 def walk_pattern_dist(src: np.ndarray, dst: np.ndarray, n: int,
                       bits: np.ndarray, steps: int = 3,
-                      kind: str = "xor") -> np.ndarray:
+                      kind: str = "xor", prob=None) -> np.ndarray:
     """``q[u, p]`` = probability that a uniform random walk of ``steps``
     steps from ``u`` produces bit pattern ``p`` (step 1 = MSB).
 
@@ -303,9 +323,11 @@ def walk_pattern_dist(src: np.ndarray, dst: np.ndarray, n: int,
       map (:func:`pattern_blend`), the class stays order-exclusive (a bit
       marginal only narrows the popcount group).
 
-    Computed exactly via suffix recursions in ≤ 2^(steps+2) sparse mat-vecs.
+    Computed exactly via suffix recursions in ≤ 2^(steps+2) sparse mat-vecs,
+    under the walk measure of :func:`_walk_operator` (``prob`` aligns it
+    with the on-device sampler's actual transition probabilities).
     """
-    A, Dinv = _sym_norm_adj(src, dst, n)
+    A, Dinv = _walk_operator(src, dst, n, prob)
     masks = [(bits == 0).astype(np.float32), (bits == 1).astype(np.float32)]
 
     def raw_apply(b, v):
@@ -377,10 +399,29 @@ def pattern_blend(y: np.ndarray, q: np.ndarray, num_classes: int,
     qm = q[:, mixed]
     srt = np.sort(qm, axis=1)
     margin = srt[:, -1] - srt[:, -2]
-    S_idx = np.argpartition(margin, -k)[-k:]
+    pat = qm.argmax(axis=1)
     cmap = pattern_class_map(len(mixed), num_classes, seed)
+    # stratified selection: equal per-pattern quotas (top-margin within each
+    # pattern), shortfalls refilled by global margin.  Without this the
+    # dominant pattern's class takes most of S and the feature-visible mark
+    # leaks a skewed class *prior* to order-blind models (measured: Nba feat
+    # probe stuck 4 pts above its anchor at zero feature signal).
+    order_g = np.argsort(-margin)
+    quota = -(-k // len(mixed))
+    chosen = []
+    for j in range(len(mixed)):
+        idx_j = np.flatnonzero(pat == j)
+        idx_j = idx_j[np.argsort(-margin[idx_j])][:quota]
+        chosen.append(idx_j)
+    S_idx = np.concatenate(chosen)
+    if len(S_idx) > k:
+        S_idx = S_idx[np.argsort(-margin[S_idx])][:k]
+    elif len(S_idx) < k:
+        extra = [i for i in order_g if i not in set(S_idx.tolist())]
+        S_idx = np.concatenate([S_idx, np.asarray(extra[:k - len(S_idx)],
+                                                  dtype=S_idx.dtype)])
     y2 = y.copy()
-    y2[S_idx] = cmap[qm[S_idx].argmax(axis=1)]
+    y2[S_idx] = cmap[pat[S_idx]]
     S = np.zeros(n, bool)
     S[S_idx] = True
     return y2, S
@@ -395,7 +436,8 @@ PATTERN_STEPS = 3
 
 
 def apply_pattern_channel(src, dst, n, y_obs, x, num_classes, pattern_frac,
-                          bit_smooth, seed, pattern_kind: str = "xor"):
+                          bit_smooth, seed, pattern_kind: str = "xor",
+                          prob=None):
     """Plant the regime-3 path-pattern channel into an existing payload:
     hidden bits (exposed in the last feature column), walk-pattern labels on
     the top-margin ``pattern_frac`` of nodes, and an S-membership mark in
@@ -412,7 +454,7 @@ def apply_pattern_channel(src, dst, n, y_obs, x, num_classes, pattern_frac,
     returns ``(y, x, S)``."""
     bits = graph_bits(src, dst, n, seed + 3, smooth=bit_smooth)
     q = walk_pattern_dist(src, dst, n, bits, steps=PATTERN_STEPS,
-                          kind=pattern_kind)
+                          kind=pattern_kind, prob=prob)
     y2, S = pattern_blend(y_obs, q, num_classes, pattern_frac, seed + 4)
     x2 = x.copy()
     x2[:, -1] += PATTERN_BIT_AMP * (2.0 * bits - 1.0)
@@ -458,9 +500,14 @@ def attach_synthetic_payload(g: Graph, num_classes: int = 5, feat_dim: int = 128
                            n_train)
     y = flip_labels(y_true, label_noise, num_classes, seed + 2)
     if pattern_frac > 0:
+        # real edge files carry the sampler's transition probs — define the
+        # channel under that exact measure (SBM stand-ins: uniform, which
+        # matches their near-uniform MERW)
+        prob = g.prob if (g.prob is not None and len(g.prob)
+                          and (np.ptp(g.prob) > 1e-12)) else None
         y, x, _ = apply_pattern_channel(g.src, g.dst, g.n, y, x, num_classes,
                                         pattern_frac, bit_smooth, seed,
-                                        pattern_kind)
+                                        pattern_kind, prob=prob)
     return Graph(n=g.n, src=g.src, dst=g.dst, prob=g.prob,
                  features=x, labels=y, name=g.name or "synthetic")
 

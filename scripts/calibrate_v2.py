@@ -78,6 +78,10 @@ class Payload:
                                         structure, seed=self.seed,
                                         offdiag=offdiag)
             self.src, self.dst, self.n = g.src, g.dst, g.n
+            # the sampler's actual transition probs (MERW from the real
+            # edge file) — the pattern channel is defined under this measure
+            self.prob = (g.prob if (g.prob is not None and len(g.prob)
+                                    and np.ptp(g.prob) > 1e-12) else None)
         else:
             # SBM: replicate synthetic_graph's rng stream exactly
             rng = np.random.default_rng(self.seed)
@@ -99,6 +103,7 @@ class Payload:
             self.src = np.concatenate([u, v]).astype(np.int32)
             self.dst = np.concatenate([v, u]).astype(np.int32)
             self.y_true, self.n = y, n
+            self.prob = None
         self.y_obs = flip_labels(self.y_true, label_noise, spec.num_classes,
                                  self.seed + 2)
         self.h_obs = edge_homophily(self.src, self.dst, self.y_obs)
@@ -155,7 +160,8 @@ def _fit_signal(p, mlp):
     lo, hi = 0.2, 40.0
     for _ in range(11):
         mid = 0.5 * (lo + hi)
-        f, _ = p.measure(mid)
+        f = p.measure_feat(mid) if hasattr(p, "measure_feat") \
+            else p.measure(mid)[0]
         if f < mlp:
             lo = mid
         else:

@@ -52,7 +52,8 @@ class PatternPayload(Payload):
         self.bits = graph_bits(self.src, self.dst, self.n, self.seed + 3,
                                smooth=bit_smooth)
         q = walk_pattern_dist(self.src, self.dst, self.n, self.bits,
-                              steps=PATTERN_STEPS)
+                              steps=PATTERN_STEPS,
+                              prob=getattr(self, "prob", None))
         self.y_obs, self.S = pattern_blend(self.y_obs, q, spec.num_classes,
                                            pattern_frac, self.seed + 4)
         self.h_obs = edge_homophily(self.src, self.dst, self.y_obs)
@@ -61,7 +62,8 @@ class PatternPayload(Payload):
         self.hist = sample_walk_pattern_hist(self.src, self.dst, self.n,
                                              self.bits, num_walks=40,
                                              steps=PATTERN_STEPS,
-                                             seed=self.seed + 5)
+                                             seed=self.seed + 5,
+                                             prob=getattr(self, "prob", None))
 
     def features(self, signal):
         from pathnet_tpu.data.synthetic import PATTERN_MARK_AMP
@@ -69,6 +71,18 @@ class PatternPayload(Payload):
         x[:, -1] += PATTERN_BIT_AMP * (2.0 * self.bits - 1.0)
         x[:, -2] += PATTERN_MARK_AMP * (2.0 * self.S.astype(np.float32) - 1.0)
         return x
+
+    def measure_feat(self, signal, rounds=3):
+        """feat probe only — the signal bisect doesn't need the oracle
+        probes (Electronics at 8669 dims: 3x cheaper fits)."""
+        X = self.features(signal)
+        C = self.spec.num_classes
+        fa = []
+        for r in range(rounds):
+            tr, va, te = masks_for(self.spec, self.y_obs, r)
+            s = centroid_scores(X, self.y_obs, tr, C)
+            fa.append(logistic_probe(s, self.y_obs, tr, va, te, C))
+        return float(np.mean(fa))
 
     def measure3(self, signal, rounds=None):
         """(feat, mix_oracle, path_oracle) means over rounds."""

@@ -115,18 +115,33 @@ def oracle_probe(X, y, train, val, test, num_classes, n1, n2=None) -> float:
 def sample_walk_pattern_hist(src: np.ndarray, dst: np.ndarray, n: int,
                              bits: np.ndarray, num_walks: int = 40,
                              steps: int = 3, seed: int = 0,
-                             kind: str = "xor") -> np.ndarray:
+                             kind: str = "xor", prob=None) -> np.ndarray:
     """[n, 2^steps] empirical distribution of the bit patterns of
     ``num_walks`` uniform random walks per node — what a sampled-path model
     can reconstruct of the planted walk-pattern channel
     (synthetic.walk_pattern_dist).  Mirrors the plug-in decoder of
     scripts/pattern_ceiling.py on the symmetrized adjacency."""
     import scipy.sparse as sp
-    A = sp.coo_matrix((np.ones(len(src)), (src, dst)), shape=(n, n)).tocsr()
-    A = ((A + A.T) > 0)
-    A.setdiag(0)
-    A = A.tocsr()
-    indptr, indices = A.indptr, A.indices
+    if prob is None:
+        A = sp.coo_matrix((np.ones(len(src)), (src, dst)),
+                          shape=(n, n)).tocsr()
+        A = ((A + A.T) > 0)
+        A.setdiag(0)
+        A = A.tocsr()
+        indptr, indices = A.indptr, A.indices
+        cum = None
+    else:
+        # walk the actual weighted directed measure (self-loops included) —
+        # must mirror synthetic._walk_operator
+        P = sp.coo_matrix((prob.astype(np.float64), (src, dst)),
+                          shape=(n, n)).tocsr()
+        P.sum_duplicates()
+        indptr, indices = P.indptr, P.indices
+        cum = np.zeros(len(P.data))
+        for i in range(n):
+            seg = P.data[indptr[i]:indptr[i + 1]]
+            if len(seg):
+                cum[indptr[i]:indptr[i + 1]] = np.cumsum(seg)
     rng = np.random.default_rng(seed)
     cur = np.repeat(np.arange(n), num_walks)
     pat = np.zeros(n * num_walks, np.int64)
@@ -135,7 +150,17 @@ def sample_walk_pattern_hist(src: np.ndarray, dst: np.ndarray, n: int,
     for _ in range(steps):
         deg = indptr[cur + 1] - indptr[cur]
         alive &= deg > 0
-        off = (rng.random(len(cur)) * np.maximum(deg, 1)).astype(np.int64)
+        if cum is None:
+            off = (rng.random(len(cur)) * np.maximum(deg, 1)).astype(np.int64)
+        else:
+            lo, hi = indptr[cur], indptr[cur + 1]
+            tot = np.where(deg > 0, cum[np.maximum(hi - 1, 0)], 1.0)
+            targets = rng.random(len(cur)) * tot
+            # vectorized per-row searchsorted over the flat cumsum
+            off = np.empty(len(cur), np.int64)
+            for i in range(len(cur)):
+                off[i] = np.searchsorted(cum[lo[i]:hi[i]], targets[i])                     if hi[i] > lo[i] else 0
+            off = np.minimum(off, np.maximum(deg - 1, 0))
         nxt = np.where(deg > 0,
                        indices[np.minimum(indptr[cur] + off,
                                           max(len(indices) - 1, 0))], cur)
