@@ -128,9 +128,9 @@ DATASETS: Dict[str, DatasetSpec] = {
                                n=42318, avg_deg=8.0, large=True, signal=4.45,
                                structure=0.9, label_noise=0.2),
     "Dblp": DatasetSpec("Dblp", "hetero", "random", 4, 334, 0.45,
-                        n=17716, avg_deg=6.0, large=True, signal=4.02,
+                        n=17716, avg_deg=6.0, large=True, signal=4.87,
                         structure=0.9, label_noise=0.307,
-                        pattern_frac=0.126, bit_smooth=1),
+                        pattern_frac=0.117, bit_smooth=1),
     # Geom-GCN datasets carried by the reference dataset.json (val sizes
     # from there; scale/homophily from the Geom-GCN/H2GCN papers).  Loaded
     # from <root>/geomgcn/<name>/out1_* when present (formats.load_geomgcn),

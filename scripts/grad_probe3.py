@@ -82,6 +82,9 @@ def main():
                         "compile_s": round(compile_s, 1),
                         "checksum": s}
         print(f"{tag}: {results[tag]}", flush=True)
+        with open("results/grad_probe3.json", "w") as f:
+            json.dump(results, f, indent=2)   # flush per probe (a config
+            # can crash the remote-compile service; keep what we measured)
 
     # 1) dist_mode at the r4 default microbatch
     probe("mb8192_mask_f32", 8192, "mask", "float32")
