@@ -115,15 +115,15 @@ DATASETS: Dict[str, DatasetSpec] = {
                             edge_file="citeseer.in", val_size=1879,
                             signal=4.25, structure=0.9, label_noise=0.204),
     "Nba": DatasetSpec("Nba", "hetero", "random", 2, 96, 0.39,
-                       edge_file="Nba.in", signal=3.16, structure=0.9,
-                       label_noise=0.35, pattern_frac=0.45, bit_smooth=3),
+                       edge_file="Nba.in", signal=0.21, structure=0.9,
+                       label_noise=0.35, pattern_frac=0.376, bit_smooth=9),
     "pubmed": DatasetSpec("pubmed", "homo", "fixed", 3, 500, 0.80,
                           n=19717, avg_deg=4.5, val_size=6310, large=True,
                           signal=4.03, label_noise=0.136),
     "bgp": DatasetSpec("bgp", "hetero", "random", 8, 287, 0.37,
-                       n=63977, avg_deg=10.0, large=True, signal=4.8,
+                       n=63977, avg_deg=10.0, large=True, signal=6.21,
                        structure=0.9, label_noise=0.335,
-                       pattern_frac=0.205, bit_smooth=1),
+                       pattern_frac=0.134, bit_smooth=1),
     "Electronics": DatasetSpec("Electronics", "hetero", "random", 10, 8669, 0.25,
                                n=42318, avg_deg=8.0, large=True, signal=4.45,
                                structure=0.9, label_noise=0.2),
