@@ -82,6 +82,10 @@ class DatasetSpec:
     # pattern alphabet: "raw" walk bits (first-order, LSTM-friendly) or
     # "xor" transitions (flip-invariant) — see synthetic.walk_pattern_dist
     pattern_kind: str = "xor"
+    # S-selection: "none" = global top-margin (max decodability; prior leak
+    # absorbed by the signal refit) | "class" = class-balanced quotas (for
+    # datasets where the leak alone exceeds the MLP anchor)
+    pattern_balance: str = "none"
 
 
 # Knob values produced by scripts/calibrate_v2.py (r4 recalibration;
@@ -116,21 +120,23 @@ DATASETS: Dict[str, DatasetSpec] = {
                             signal=4.25, structure=0.9, label_noise=0.204),
     "Nba": DatasetSpec("Nba", "hetero", "random", 2, 96, 0.39,
                        edge_file="Nba.in", signal=0.21, structure=0.9,
-                       label_noise=0.35, pattern_frac=0.376, bit_smooth=9),
+                       label_noise=0.35, pattern_frac=0.164, bit_smooth=9,
+                       pattern_balance="class"),
     "pubmed": DatasetSpec("pubmed", "homo", "fixed", 3, 500, 0.80,
                           n=19717, avg_deg=4.5, val_size=6310, large=True,
                           signal=4.03, label_noise=0.136),
     "bgp": DatasetSpec("bgp", "hetero", "random", 8, 287, 0.37,
-                       n=63977, avg_deg=10.0, large=True, signal=6.21,
+                       n=63977, avg_deg=10.0, large=True, signal=4.8,
                        structure=0.9, label_noise=0.335,
-                       pattern_frac=0.134, bit_smooth=1),
+                       pattern_frac=0.205, bit_smooth=1),
     "Electronics": DatasetSpec("Electronics", "hetero", "random", 10, 8669, 0.25,
-                               n=42318, avg_deg=8.0, large=True, signal=4.45,
-                               structure=0.9, label_noise=0.2),
+                               n=42318, avg_deg=8.0, large=True, signal=4.91,
+                               structure=0.9, label_noise=0.2,
+                               pattern_frac=0.082, bit_smooth=1),
     "Dblp": DatasetSpec("Dblp", "hetero", "random", 4, 334, 0.45,
-                        n=17716, avg_deg=6.0, large=True, signal=4.87,
+                        n=17716, avg_deg=6.0, large=True, signal=4.02,
                         structure=0.9, label_noise=0.307,
-                        pattern_frac=0.117, bit_smooth=1),
+                        pattern_frac=0.126, bit_smooth=1),
     # Geom-GCN datasets carried by the reference dataset.json (val sizes
     # from there; scale/homophily from the Geom-GCN/H2GCN papers).  Loaded
     # from <root>/geomgcn/<name>/out1_* when present (formats.load_geomgcn),
@@ -170,9 +176,11 @@ def payload_fingerprint(spec: DatasetSpec) -> str:
         # measure-aligned q) — bumped when the generation code changes so
         # checkpoints/rows from an earlier blend can never be resumed into
         # a recalibrated payload.
-        key += f":pf{spec.pattern_frac}:bs{spec.bit_smooth}:v2"
+        key += f":pf{spec.pattern_frac}:bs{spec.bit_smooth}:v4"
         if spec.pattern_kind != "xor":
             key += f":pk{spec.pattern_kind}"
+        if spec.pattern_balance != "none":
+            key += f":bal{spec.pattern_balance}"
     return format(zlib.crc32(key.encode()) & 0xFFFFFFFF, "08x")
 
 
@@ -242,7 +250,8 @@ def load_structure(name: str, data_root: str = "data") -> Graph:
                            offdiag=spec.offdiag, label_noise=spec.label_noise,
                            pattern_frac=spec.pattern_frac,
                            bit_smooth=spec.bit_smooth,
-                           pattern_kind=spec.pattern_kind)
+                           pattern_kind=spec.pattern_kind,
+                           pattern_balance=spec.pattern_balance)
 
 
 # payload cache: the graph + synthetic payload are deterministic in
@@ -312,7 +321,8 @@ def load_dataset(name: str, data_root: str = "data", round_i: int = 0,
                                              label_noise=spec.label_noise,
                                              pattern_frac=spec.pattern_frac,
                                              bit_smooth=spec.bit_smooth,
-                                             pattern_kind=spec.pattern_kind)
+                                             pattern_kind=spec.pattern_kind,
+                                             pattern_balance=spec.pattern_balance)
         while len(_PAYLOAD_CACHE) >= _PAYLOAD_CACHE_MAX:
             _PAYLOAD_CACHE.pop(next(iter(_PAYLOAD_CACHE)))
         # the same ndarray objects are handed to every caller across rounds

@@ -381,7 +381,7 @@ def pattern_class_map(num_patterns: int, num_classes: int, seed: int
 
 
 def pattern_blend(y: np.ndarray, q: np.ndarray, num_classes: int,
-                  frac: float, seed: int):
+                  frac: float, seed: int, balance: str = "none"):
     """Replace the labels of the ``frac`` highest-margin nodes with the
     class of their dominant *mixed* walk-pattern.
 
@@ -401,27 +401,37 @@ def pattern_blend(y: np.ndarray, q: np.ndarray, num_classes: int,
     margin = srt[:, -1] - srt[:, -2]
     pat = qm.argmax(axis=1)
     cmap = pattern_class_map(len(mixed), num_classes, seed)
-    # stratified selection: equal per-pattern quotas (top-margin within each
-    # pattern), shortfalls refilled by global margin.  Without this the
-    # dominant pattern's class takes most of S and the feature-visible mark
-    # leaks a skewed class *prior* to order-blind models (measured: Nba feat
-    # probe stuck 4 pts above its anchor at zero feature signal).
-    order_g = np.argsort(-margin)
-    quota = -(-k // len(mixed))
-    chosen = []
-    for j in range(len(mixed)):
-        idx_j = np.flatnonzero(pat == j)
-        idx_j = idx_j[np.argsort(-margin[idx_j])][:quota]
-        chosen.append(idx_j)
-    S_idx = np.concatenate(chosen)
-    if len(S_idx) > k:
-        S_idx = S_idx[np.argsort(-margin[S_idx])][:k]
-    elif len(S_idx) < k:
-        extra = [i for i in order_g if i not in set(S_idx.tolist())]
-        S_idx = np.concatenate([S_idx, np.asarray(extra[:k - len(S_idx)],
-                                                  dtype=S_idx.dtype)])
+    node_cls = cmap[pat]
+    if balance == "class":
+        # class-balanced, margin-greedy-within-class: equal per-class
+        # quotas.  Used when the S class-prior leak through the feature-
+        # visible mark would alone exceed the MLP anchor (Nba: feat probe
+        # 4 pts above anchor at zero signal); quotas cost decodability
+        # (lower-margin picks for rare-pattern classes), so the default
+        # stays global.
+        classes = np.unique(cmap)
+        quota = -(-k // len(classes))
+        chosen = []
+        for c in classes:
+            idx_c = np.flatnonzero(node_cls == c)
+            idx_c = idx_c[np.argsort(-margin[idx_c])][:quota]
+            chosen.append(idx_c)
+        S_idx = np.concatenate(chosen)
+        if len(S_idx) > k:
+            S_idx = S_idx[np.argsort(-margin[S_idx])][:k]
+        elif len(S_idx) < k:
+            in_s = np.zeros(n, bool)
+            in_s[S_idx] = True
+            extra = np.argsort(-margin)
+            extra = extra[~in_s[extra]][:k - len(S_idx)]
+            S_idx = np.concatenate([S_idx, extra.astype(S_idx.dtype)])
+    else:
+        # global top-margin (max decodability).  The skewed class prior the
+        # mark then carries is absorbed by the anchored signal refit — the
+        # feat probe is held on the documented MLP row either way.
+        S_idx = np.argpartition(margin, -k)[-k:]
     y2 = y.copy()
-    y2[S_idx] = cmap[pat[S_idx]]
+    y2[S_idx] = node_cls[S_idx]
     S = np.zeros(n, bool)
     S[S_idx] = True
     return y2, S
@@ -437,7 +447,7 @@ PATTERN_STEPS = 3
 
 def apply_pattern_channel(src, dst, n, y_obs, x, num_classes, pattern_frac,
                           bit_smooth, seed, pattern_kind: str = "xor",
-                          prob=None):
+                          prob=None, pattern_balance: str = "none"):
     """Plant the regime-3 path-pattern channel into an existing payload:
     hidden bits (exposed in the last feature column), walk-pattern labels on
     the top-margin ``pattern_frac`` of nodes, and an S-membership mark in
@@ -455,7 +465,8 @@ def apply_pattern_channel(src, dst, n, y_obs, x, num_classes, pattern_frac,
     bits = graph_bits(src, dst, n, seed + 3, smooth=bit_smooth)
     q = walk_pattern_dist(src, dst, n, bits, steps=PATTERN_STEPS,
                           kind=pattern_kind, prob=prob)
-    y2, S = pattern_blend(y_obs, q, num_classes, pattern_frac, seed + 4)
+    y2, S = pattern_blend(y_obs, q, num_classes, pattern_frac, seed + 4,
+                          balance=pattern_balance)
     x2 = x.copy()
     x2[:, -1] += PATTERN_BIT_AMP * (2.0 * bits - 1.0)
     x2[:, -2] += PATTERN_MARK_AMP * (2.0 * S.astype(np.float32) - 1.0)
@@ -470,7 +481,8 @@ def attach_synthetic_payload(g: Graph, num_classes: int = 5, feat_dim: int = 128
                              label_noise: float = 0.0,
                              pattern_frac: float = 0.0,
                              bit_smooth: int = 1,
-                             pattern_kind: str = "xor") -> Graph:
+                             pattern_kind: str = "xor",
+                             pattern_balance: str = "none") -> Graph:
     """Attach deterministic synthetic labels + features to a real structure.
 
     ``n_train`` defaults to the protocol's 48% train fraction
@@ -507,7 +519,8 @@ def attach_synthetic_payload(g: Graph, num_classes: int = 5, feat_dim: int = 128
                           and (np.ptp(g.prob) > 1e-12)) else None
         y, x, _ = apply_pattern_channel(g.src, g.dst, g.n, y, x, num_classes,
                                         pattern_frac, bit_smooth, seed,
-                                        pattern_kind, prob=prob)
+                                        pattern_kind, prob=prob,
+                                        pattern_balance=pattern_balance)
     return Graph(n=g.n, src=g.src, dst=g.dst, prob=g.prob,
                  features=x, labels=y, name=g.name or "synthetic")
 
@@ -520,7 +533,8 @@ def synthetic_graph(n: int, avg_deg: float, num_classes: int = 5,
                     label_noise: float = 0.0,
                     pattern_frac: float = 0.0,
                     bit_smooth: int = 1,
-                    pattern_kind: str = "xor") -> Graph:
+                    pattern_kind: str = "xor",
+                    pattern_balance: str = "none") -> Graph:
     """SBM-flavored random graph drawn from a class-compatibility matrix.
 
     Labels first; each undirected edge picks endpoint ``u`` uniformly and the
@@ -555,7 +569,8 @@ def synthetic_graph(n: int, avg_deg: float, num_classes: int = 5,
     if pattern_frac > 0:
         y_obs, x, _ = apply_pattern_channel(src, dst, n, y_obs, x,
                                             num_classes, pattern_frac,
-                                            bit_smooth, seed, pattern_kind)
+                                            bit_smooth, seed, pattern_kind,
+                                            pattern_balance=pattern_balance)
     return Graph(n=n, src=src, dst=dst, prob=np.ones(len(src)),
                  features=x, labels=y_obs, name=f"sbm_n{n}")
 

@@ -43,7 +43,7 @@ class PatternPayload(Payload):
     generation exactly: same seeds, same order — flips first, then blend)."""
 
     def __init__(self, name, structure, offdiag, label_noise, pattern_frac,
-                 bit_smooth):
+                 bit_smooth, balance=None):
         rho_eff = pattern_frac + (1.0 - pattern_frac) * label_noise
         super().__init__(name, structure, offdiag, label_noise,
                          rho_eff=rho_eff)
@@ -54,8 +54,9 @@ class PatternPayload(Payload):
         q = walk_pattern_dist(self.src, self.dst, self.n, self.bits,
                               steps=PATTERN_STEPS,
                               prob=getattr(self, "prob", None))
-        self.y_obs, self.S = pattern_blend(self.y_obs, q, spec.num_classes,
-                                           pattern_frac, self.seed + 4)
+        self.y_obs, self.S = pattern_blend(
+            self.y_obs, q, spec.num_classes, pattern_frac, self.seed + 4,
+            balance=balance if balance is not None else spec.pattern_balance)
         self.h_obs = edge_homophily(self.src, self.dst, self.y_obs)
         self.n1, self.n2 = neighbor_mixes(self.src, self.dst, self.n,
                                           self.y_obs, spec.num_classes)
