@@ -109,9 +109,10 @@ class DatasetSpec:
 # only noise-free), others within 0.01.
 DATASETS: Dict[str, DatasetSpec] = {
     "cornell": DatasetSpec("cornell", "hetero", "fixed", 5, 1703, 0.30,
-                           edge_file="cornell.in", val_size=59, signal=1.51,
+                           edge_file="cornell.in", val_size=59, signal=39.99,
                            structure=0.85, offdiag="matching",
-                           label_noise=0.0),
+                           label_noise=0.0, pattern_frac=0.178,
+                           bit_smooth=1),
     "cora": DatasetSpec("cora", "homo", "fixed", 7, 1433, 0.81,
                         edge_file="cora_nsl.in", val_size=1019, signal=3.2,
                         structure=0.9, label_noise=0.108),
@@ -142,23 +143,28 @@ DATASETS: Dict[str, DatasetSpec] = {
     # from <root>/geomgcn/<name>/out1_* when present (formats.load_geomgcn),
     # else SBM stand-ins.
     "chameleon": DatasetSpec("chameleon", "hetero", "fixed", 5, 2325, 0.23,
-                             n=2277, avg_deg=31.7, val_size=729, signal=2.58,
+                             n=2277, avg_deg=31.7, val_size=729, signal=2.33,
                              structure=0.97, offdiag="matching",
-                             label_noise=0.445),
+                             label_noise=0.445, pattern_frac=0.45,
+                             bit_smooth=1),
     "squirrel": DatasetSpec("squirrel", "hetero", "fixed", 5, 2089, 0.22,
-                            n=5201, avg_deg=83.5, val_size=1664, signal=0.99,
-                            structure=0.045, label_noise=0.0),
+                            n=5201, avg_deg=83.5, val_size=1664, signal=0.7,
+                            structure=0.045, label_noise=0.0,
+                            pattern_frac=0.082, bit_smooth=1),
     "film": DatasetSpec("film", "hetero", "fixed", 5, 931, 0.22,
-                        n=7600, avg_deg=8.8, val_size=3648, signal=1.22,
-                        structure=0.167, label_noise=0.0),
+                        n=7600, avg_deg=8.8, val_size=3648, signal=1.2,
+                        structure=0.167, label_noise=0.0,
+                        pattern_frac=0.176, bit_smooth=1),
     "texas": DatasetSpec("texas", "hetero", "fixed", 5, 1703, 0.11,
-                         n=183, avg_deg=3.4, val_size=59, signal=1.53,
+                         n=183, avg_deg=3.4, val_size=59, signal=1.76,
                          structure=0.803, offdiag="matching",
-                         label_noise=0.0),
+                         label_noise=0.0, pattern_frac=0.082,
+                         bit_smooth=1),
     "wisconsin": DatasetSpec("wisconsin", "hetero", "fixed", 5, 1703, 0.21,
-                             n=251, avg_deg=4.0, val_size=80, signal=1.8,
+                             n=251, avg_deg=4.0, val_size=80, signal=1.98,
                              structure=0.894, offdiag="matching",
-                             label_noise=0.0),
+                             label_noise=0.0, pattern_frac=0.082,
+                             bit_smooth=1),
 }
 
 
