@@ -29,10 +29,12 @@ import numpy as np
 sys.path.insert(0, ".")
 sys.path.insert(0, "scripts")
 
-from pathnet_tpu.data.registry import DATASETS, load_dataset  # noqa: E402
+from pathnet_tpu.data.registry import (DATASETS, _stable_seed,  # noqa: E402
+                                       load_dataset)
 from pathnet_tpu.data.splits import get_whole_mask, ratio_masks  # noqa: E402
-from pathnet_tpu.data.synthetic import edge_homophily  # noqa: E402
-from probes import centroid_scores, logistic_probe, neighbor_mixes  # noqa: E402
+from pathnet_tpu.data.synthetic import edge_homophily, graph_bits  # noqa: E402
+from probes import (centroid_scores, logistic_probe, neighbor_mixes,  # noqa: E402
+                    path_oracle_probe, sample_walk_pattern_hist)
 
 REFERENCE_PATHNET = {  # performance.jpg PathNet row
     "cornell": 0.9135, "cora": 0.8576, "citeseer": 0.7798, "pubmed": 0.8892,
@@ -49,7 +51,19 @@ def probe(name: str, rounds: int = None) -> dict:
         rounds = 8 if g.n <= 1500 else 3
     n1, n2 = neighbor_mixes(g.src, g.dst, g.n, y, C)
     X = g.features
-    accF, acc1, acc2 = [], [], []
+    hist = None
+    if spec.pattern_frac > 0:
+        # regenerate the channel's bit field + sampled-walk histogram under
+        # the same seeds/measure as payload generation (r5 path oracle)
+        prob = (g.prob if (g.prob is not None and len(g.prob)
+                           and np.ptp(g.prob) > 1e-12) else None)
+        bits = graph_bits(g.src, g.dst, g.n, _stable_seed(name) + 3,
+                          smooth=spec.bit_smooth)
+        hist = sample_walk_pattern_hist(g.src, g.dst, g.n, bits,
+                                        num_walks=40,
+                                        seed=_stable_seed(name) + 5,
+                                        prob=prob)
+    accF, acc1, acc2, accP = [], [], [], []
     for r in range(rounds):
         if spec.split == "random":
             tr, va, te = get_whole_mask(y, seed=r + 1)
@@ -68,11 +82,15 @@ def probe(name: str, rounds: int = None) -> dict:
         accF.append(f)
         acc1.append(max(o1, m1, f))
         acc2.append(max(o2, m2, o1, m1, f))
+        if hist is not None:
+            po = path_oracle_probe(X, y, tr, va, te, C, n1, n2, hist)
+            accP.append(max(po, acc2[-1]))
     return {
         "homophily": round(edge_homophily(g.src, g.dst, y), 3),
         "feat_only": round(float(np.mean(accF)), 4),
         "oracle_1hop": round(float(np.mean(acc1)), 4),
         "oracle_2hop": round(float(np.mean(acc2)), 4),
+        "path_oracle": (round(float(np.mean(accP)), 4) if accP else None),
         "reference_pathnet": REFERENCE_PATHNET.get(name),
     }
 
