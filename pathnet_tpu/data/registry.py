@@ -120,9 +120,8 @@ DATASETS: Dict[str, DatasetSpec] = {
                             edge_file="citeseer.in", val_size=1879,
                             signal=4.25, structure=0.9, label_noise=0.204),
     "Nba": DatasetSpec("Nba", "hetero", "random", 2, 96, 0.39,
-                       edge_file="Nba.in", signal=0.21, structure=0.9,
-                       label_noise=0.35, pattern_frac=0.164, bit_smooth=9,
-                       pattern_balance="class"),
+                       edge_file="Nba.in", signal=6.06, structure=0.9,
+                       label_noise=0.35, pattern_frac=0.45, bit_smooth=3),
     "pubmed": DatasetSpec("pubmed", "homo", "fixed", 3, 500, 0.80,
                           n=19717, avg_deg=4.5, val_size=6310, large=True,
                           signal=4.03, label_noise=0.136),
