@@ -294,8 +294,25 @@ def load_dataset(name: str, data_root: str = "data", round_i: int = 0,
     spec = DATASETS[name]
     cache_key = (name, data_root, payload_fingerprint(spec))
     cached = _PAYLOAD_CACHE.get(cache_key)
+    disk_cache = os.path.join(data_root, "payload_cache",
+                              f"{name}.{cache_key[2]}.npz")
     if cached is not None:
         g, fixed_masks = cached
+    elif os.path.exists(disk_cache):
+        # cross-process payload cache, keyed by the full fingerprint (which
+        # carries the generation version): regenerating a stand-in runs
+        # minutes of Gibbs annealing + pattern SpMVs per process, and a
+        # queue runs dozens of processes against the same payload
+        z = np.load(disk_cache)
+        g = Graph(n=int(z["n"]), src=z["src"], dst=z["dst"], prob=z["prob"],
+                  features=z["x"], labels=z["y"], name=name)
+        fixed_masks = None
+        while len(_PAYLOAD_CACHE) >= _PAYLOAD_CACHE_MAX:
+            _PAYLOAD_CACHE.pop(next(iter(_PAYLOAD_CACHE)))
+        for arr in (g.src, g.dst, g.prob, g.features, g.labels):
+            if isinstance(arr, np.ndarray):
+                arr.setflags(write=False)
+        _PAYLOAD_CACHE[cache_key] = (g, fixed_masks)
     else:
         g = load_structure(name, data_root)
         fixed_masks = None
@@ -328,6 +345,14 @@ def load_dataset(name: str, data_root: str = "data", round_i: int = 0,
                                              bit_smooth=spec.bit_smooth,
                                              pattern_kind=spec.pattern_kind,
                                              pattern_balance=spec.pattern_balance)
+            try:
+                os.makedirs(os.path.dirname(disk_cache), exist_ok=True)
+                tmp = disk_cache + ".tmp.npz"
+                np.savez(tmp, n=g.n, src=g.src, dst=g.dst, prob=g.prob,
+                         x=g.features, y=g.labels)
+                os.replace(tmp, disk_cache)
+            except OSError:
+                pass   # cache is best-effort (disk-full etc.)
         while len(_PAYLOAD_CACHE) >= _PAYLOAD_CACHE_MAX:
             _PAYLOAD_CACHE.pop(next(iter(_PAYLOAD_CACHE)))
         # the same ndarray objects are handed to every caller across rounds
