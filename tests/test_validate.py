@@ -88,10 +88,15 @@ def test_load_dataset_validates(monkeypatch):
         return dataclasses.replace(g, features=feats)
 
     monkeypatch.setattr(registry, "attach_synthetic_payload", corrupt)
-    # the payload cache would otherwise serve a clean graph assembled by an
-    # earlier test, bypassing the monkeypatched assembly entirely
+    # the payload caches (in-process AND the on-disk fingerprint cache)
+    # would otherwise serve a clean graph assembled earlier, bypassing the
+    # monkeypatched assembly entirely — point data_root at a tmpdir (the
+    # edge-file lookup falls back to the repo data dir; the disk cache
+    # does not)
     registry.clear_payload_cache()
-    # Nba: real edge structure (data/edge_input/Nba.in) + synthetic payload
-    with pytest.raises(DataValidationError, match="non-finite"):
-        registry.load_dataset("Nba", "data", 0)
+    import tempfile
+    with tempfile.TemporaryDirectory() as tmp:
+        # Nba: real edge structure (data/edge_input/Nba.in) + synthetic payload
+        with pytest.raises(DataValidationError, match="non-finite"):
+            registry.load_dataset("Nba", tmp, 0)
     registry.clear_payload_cache()     # do not leak the corrupted payload
