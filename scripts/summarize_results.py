@@ -114,7 +114,17 @@ def main():
            "results/calibration_v3.json) anchors three probes per dataset:",
            "feat = documented MLP row; mix-oracle = what 1/2-hop smoothing",
            "reaches; path-oracle (sampled-walk histogram + gated plug-in",
-           "decoder) a measured margin above it.",
+           "decoder) a measured margin above it.  Where plug-in decodability",
+           "diverged from learnability — Nba's ~190 train nodes decoded the",
+           "smooth-3 channel with an oracle but not with the trained model —",
+           "knobs were selected by *trained-model* decode probes",
+           "(scripts/nba_decode_probe.py, results/nba_decode_probe.json:",
+           "smooth-2 at frac .60 → trained gap +5.7 at full budget).  The",
+           "same probe run on a candidate cora pattern payload came back",
+           "negative (results/cora_pattern_probe.json: the homo variant does",
+           "not close the smoothing gap), so the homophily payloads keep the",
+           "r4 calibration and their model ordering remains regime-1",
+           "(payload-limited, not model-limited — see the ceiling table).",
            "",
            "**r5: attention semantics.** With training dynamics golden-tested",
            "against torch (grads + one Adam update,",
