@@ -42,9 +42,12 @@ def main():
         p = json.load(open(out_path))
         # resume only a run of the same protocol on the same platform and
         # the same payload calibration (stale-artifact guard, VERDICT r3 #5)
+        # NOTE: payload must match EXPLICITLY — a legacy artifact without
+        # the key must be treated as stale, not blessed (a `.get(..., fp)`
+        # default here once re-stamped r4 rows with the r5 fingerprint)
         if (p.get("rounds") == rounds and p.get("epochs") == epochs
                 and p.get("platform") == jax.devices()[0].platform
-                and p.get("payload", fp) == fp):
+                and p.get("payload") == fp):
             prev = {int(k): v for k, v in p.get("accuracy_by_len", {}).items()}
     rows = [(wl, m, s) for wl, (m, s) in sorted(prev.items())]
 
